@@ -1,0 +1,232 @@
+"""Block framing: nulls, dtype tags, optional zstd wrap, codec dispatch.
+
+A block is the encoded form of one column chunk (the non-null values
+go through a codec from core.py/fsst.py; nulls are carried as a packed
+validity bitmap and re-inserted on decode — value order is preserved,
+so decode is bit-identical).
+
+Frame layout (little-endian):
+    u8  version (=1)
+    u8  codec_id
+    u8  dtype_id          0=str 1=int64 2=ts_us 3=int32
+    u8  compression       0=raw 1=zstd
+    u32 n_rows
+    u32 null_count
+    [validity bitmap ceil(n/8) bytes]   present iff null_count > 0
+    u64 payload_raw_len
+    payload  (zstd-compressed iff compression=1)
+
+The optional zstd wrap is part of the cost model: block sizes are
+always measured post-wrap, so codec selection optimizes the real
+on-disk footprint (the metric BASELINE.json compares against the
+reference's snappy parquet).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .core import DeltaCodec, DictCodec, ForBitpackCodec, PlainCodec, RleCodec
+from .fsst import FsstCodec
+from .strutil import buf_to_strings, strings_to_buf
+
+_HDR = struct.Struct("<BBBBII")
+_U64 = struct.Struct("<Q")
+
+CODECS = {
+    "plain": PlainCodec(),
+    "dict": DictCodec(),
+    "rle": RleCodec(),
+    "forbp": ForBitpackCodec(),
+    "delta": DeltaCodec(),
+    "fsst": FsstCodec(),
+}
+CODEC_IDS = {name: i for i, name in enumerate(["plain", "dict", "rle", "forbp", "delta", "fsst"])}
+CODEC_NAMES = {i: n for n, i in CODEC_IDS.items()}
+
+DTYPE_IDS = {"str": 0, "int64": 1, "ts_us": 2, "int32": 3}
+DTYPE_NAMES = {i: n for n, i in DTYPE_IDS.items()}
+
+# which codecs can encode which type class
+ELIGIBLE = {
+    "str": ["dict", "rle", "fsst", "plain"],
+    "int64": ["delta", "forbp", "rle", "plain"],
+    "ts_us": ["delta", "forbp", "plain"],
+    "int32": ["delta", "forbp", "rle", "dict", "plain"],
+}
+
+_ZSTD = pa.Codec("zstd", compression_level=3)
+
+
+def _maybe_compress(payload: bytes) -> tuple[int, bytes]:
+    if len(payload) < 64:
+        return 0, payload
+    comp = _ZSTD.compress(payload)
+    comp_bytes = comp.to_pybytes() if hasattr(comp, "to_pybytes") else bytes(comp)
+    if len(comp_bytes) < len(payload):
+        return 1, comp_bytes
+    return 0, payload
+
+
+def _decompress(flag: int, data: bytes, raw_len: int) -> bytes:
+    if flag == 0:
+        return data
+    out = _ZSTD.decompress(data, raw_len)
+    return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
+
+
+def _extract(series: pd.Series, dtype: str):
+    """Split a pandas Series into (validity bool[n], non-null canonical values)."""
+    n = len(series)
+    if dtype == "str":
+        valid = series.notna().to_numpy()
+        vals = series[valid].astype(object).to_numpy()
+        return valid, strings_to_buf(list(vals))
+    if dtype == "ts_us":
+        # Spark timestamps are microsecond precision; store epoch-us int64
+        s = pd.to_datetime(series)
+        valid = s.notna().to_numpy()
+        ints = s[valid].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return valid, ints
+    # int32 / int64 (possibly pandas nullable or float-with-nan from Arrow)
+    valid = series.notna().to_numpy()
+    ints = pd.to_numeric(series[valid]).to_numpy().astype(np.int64)
+    return valid, ints
+
+
+def _restore(valid: np.ndarray, values, dtype: str) -> pd.Series:
+    n = valid.size
+    if dtype == "str":
+        lengths, data = values
+        strs = buf_to_strings(lengths, data)
+        out = np.full(n, None, dtype=object)
+        out[valid] = strs
+        return pd.Series(out, dtype=object)
+    if dtype == "ts_us":
+        out = np.full(n, np.datetime64("NaT", "us"), dtype="datetime64[us]")
+        out[valid] = values.astype("datetime64[us]")
+        return pd.Series(out)
+    if dtype == "int32":
+        if valid.all():
+            return pd.Series(values.astype(np.int32))
+        out = pd.array(np.zeros(n, dtype=np.int32), dtype="Int32")
+        out[~valid] = pd.NA
+        out[valid] = values.astype(np.int32)
+        return pd.Series(out)
+    if valid.all():
+        return pd.Series(values.astype(np.int64))
+    out = pd.array(np.zeros(n, dtype=np.int64), dtype="Int64")
+    out[~valid] = pd.NA
+    out[valid] = values
+    return pd.Series(out)
+
+
+def _codec_encode(codec_name: str, dtype: str, canonical) -> bytes:
+    codec = CODECS[codec_name]
+    if dtype == "str":
+        lengths, data = canonical
+        return codec.encode_strs(lengths, data)
+    return codec.encode_ints(canonical)
+
+
+def _codec_decode(codec_name: str, dtype: str, payload: bytes, n: int):
+    codec = CODECS[codec_name]
+    if dtype == "str":
+        return codec.decode_strs(payload, n)
+    return codec.decode_ints(payload, n)
+
+
+def choose_codec(canonical, dtype: str, sample_n: int = 4096) -> str:
+    """Sample-based cost model: encode a bounded sample with every
+    eligible codec, extrapolate, pick the argmin.
+
+    This is the reference's sample-then-pin pattern
+    (/root/reference/parquet_converter/converter.py:453-511 pins a
+    100k-row sampled schema at :573-574) repurposed: sample each
+    (partition, column) chunk, estimate encoded size per codec, pin
+    the winner for the full chunk.
+    """
+    if dtype == "str":
+        lengths, data = canonical
+        n = len(lengths)
+        if n == 0:
+            return "plain"
+        if n > sample_n:
+            s_lengths = lengths[:sample_n]
+            s_data = data[: int(s_lengths.sum())]
+            sample = (s_lengths, s_data)
+            scale = lengths.sum() / max(int(s_lengths.sum()), 1)
+        else:
+            sample, scale = (lengths, data), 1.0
+    else:
+        n = len(canonical)
+        if n == 0:
+            return "plain"
+        if n > sample_n:
+            sample, scale = canonical[:sample_n], n / sample_n
+        else:
+            sample, scale = canonical, 1.0
+    best, best_sz = "plain", float("inf")
+    for name in ELIGIBLE[dtype]:
+        try:
+            payload = _codec_encode(name, dtype, sample)
+        except Exception:
+            continue
+        _, wrapped = _maybe_compress(payload)
+        est = len(wrapped) * scale
+        if est < best_sz:
+            best, best_sz = name, est
+    return best
+
+
+def encode_block(series: pd.Series, dtype: str, codec: str | None = None) -> bytes:
+    """Encode one column chunk → framed block bytes.
+
+    codec=None → auto-select via the cost model.
+    """
+    valid, canonical = _extract(series, dtype)
+    n = valid.size
+    null_count = int(n - valid.sum())
+    if codec is None or codec == "auto":
+        codec = choose_codec(canonical, dtype)
+    payload = _codec_encode(codec, dtype, canonical)
+    comp_flag, wrapped = _maybe_compress(payload)
+    out = bytearray(
+        _HDR.pack(1, CODEC_IDS[codec], DTYPE_IDS[dtype], comp_flag, n, null_count)
+    )
+    if null_count > 0:
+        out += np.packbits(valid).tobytes()
+    out += _U64.pack(len(payload))
+    out += wrapped
+    return bytes(out)
+
+
+def decode_block(blob: bytes) -> tuple[pd.Series, str]:
+    """Decode a framed block → (pandas Series, codec name)."""
+    version, codec_id, dtype_id, comp_flag, n, null_count = _HDR.unpack_from(blob, 0)
+    if version != 1:
+        raise ValueError(f"unknown block version {version}")
+    pos = _HDR.size
+    if null_count > 0:
+        nbytes = (n + 7) // 8
+        valid = np.unpackbits(
+            np.frombuffer(blob, dtype=np.uint8, count=nbytes, offset=pos), count=n
+        ).astype(bool)
+        pos += nbytes
+    else:
+        valid = np.ones(n, dtype=bool)
+    (raw_len,) = _U64.unpack_from(blob, pos)
+    pos += 8
+    payload = _decompress(comp_flag, blob[pos:], raw_len)
+    dtype = DTYPE_NAMES[dtype_id]
+    codec = CODEC_NAMES[codec_id]
+    values = _codec_decode(codec, dtype, payload, int(valid.sum()))
+    return _restore(valid, values, dtype), codec
+
+
+def block_codec(blob: bytes) -> str:
+    return CODEC_NAMES[blob[1]]

@@ -1,0 +1,225 @@
+"""From-scratch FSST-style symbol-table string codec.
+
+FSST ("Fast Static Symbol Table", Boncz/Neumann/Leis, VLDB 2020 —
+public paper) replaces frequent byte substrings (symbols, 1..8 bytes)
+with 1-byte codes; bytes not covered by any symbol are emitted as an
+escape byte (0xFF) followed by the literal byte. Decoding is a pure
+table expansion.
+
+This implementation is written from scratch for this engine:
+
+* **Table construction** — greedy gain maximization over sampled
+  n-gram frequencies (lengths 2..8, counted with numpy sliding
+  windows), ranked by ``(len-1) * count``; remaining code space is
+  filled with the most frequent single bytes so uncovered bytes don't
+  all pay the 2-byte escape penalty.
+* **Compression** — the column chunk's concatenated UTF-8 buffer is
+  compressed in ONE pass with a longest-match-first ``re`` alternation
+  (the CPython regex engine is C code; the only Python executed is the
+  per-match replacement lookup — per *match*, never per row).
+* **Decompression** — fully vectorized numpy: maximal runs of the
+  escape byte are disambiguated positionally (within a maximal 0xFF
+  run, even offsets are escapes), then symbols expand via
+  repeat+gather.
+
+Payload layout:
+    [table: u16 n_syms, then per symbol u8 len + bytes]
+    [orig string lengths: FOR+bitpack]
+    [compressed concat bytes]
+
+Reference analog: the text columns the reference just hands to snappy
+(/root/reference/parquet_converter/converter.py:577); here text gets a
+real lightweight encoding, per BASELINE.json north_rule.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+import numpy as np
+
+from .primitives import pack_sections, unpack_sections
+from .core import _decode_uint_vec, _encode_uint_vec
+
+ESCAPE = 0xFF
+MAX_SYMBOLS = 255  # codes 0..254; 255 is the escape byte
+MAX_SYM_LEN = 8
+_TABLE_SAMPLE_CAP = 1 << 18  # 256 KiB of sample text for table build
+
+
+def build_symbol_table(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
+    """Greedy symbol selection from n-gram frequencies on a sample."""
+    if len(sample) > _TABLE_SAMPLE_CAP:
+        sample = sample[:_TABLE_SAMPLE_CAP]
+    if not sample:
+        return []
+    arr = np.frombuffer(sample, dtype=np.uint8)
+    candidates: list[tuple[int, bytes]] = []  # (gain, symbol)
+    for length in range(2, MAX_SYM_LEN + 1):
+        if arr.size < length:
+            break
+        windows = np.lib.stride_tricks.sliding_window_view(arr, length)
+        voided = np.ascontiguousarray(windows).view(
+            np.dtype((np.void, length))
+        ).ravel()
+        uniq, counts = np.unique(voided, return_counts=True)
+        # keep only n-grams seen often enough to plausibly pay for a slot
+        keep = counts >= 4
+        uniq, counts = uniq[keep], counts[keep]
+        if uniq.size == 0:
+            continue
+        gains = (length - 1) * counts
+        order = np.argsort(gains)[::-1][:512]
+        for i in order:
+            candidates.append((int(gains[i]), uniq[i].tobytes()))
+    candidates.sort(key=lambda t: (-t[0], t[1]))
+    # multi-byte symbols first (cap so frequent single bytes still fit)
+    n_multi_cap = max_symbols - 32
+    symbols: list[bytes] = []
+    seen: set[bytes] = set()
+    for _gain, sym in candidates:
+        if len(symbols) >= n_multi_cap:
+            break
+        if sym in seen:
+            continue
+        seen.add(sym)
+        symbols.append(sym)
+    # fill remaining slots with most frequent single bytes
+    byte_counts = np.bincount(arr, minlength=256)
+    order = np.argsort(byte_counts)[::-1]
+    for b in order:
+        if len(symbols) >= max_symbols:
+            break
+        if byte_counts[b] == 0:
+            continue
+        sym = bytes([b])
+        if sym in seen:
+            continue
+        seen.add(sym)
+        symbols.append(sym)
+    return symbols
+
+
+def _compile(symbols: list[bytes]):
+    """Longest-first alternation → greedy longest match at each position."""
+    ordered = sorted(symbols, key=lambda s: (-len(s), s))
+    code_of = {s: bytes([i]) for i, s in enumerate(symbols)}
+    parts = [re.escape(s) for s in ordered]
+    parts.append(b"(?s:.)")  # fallback: any single byte → escape
+    pattern = re.compile(b"|".join(parts))
+    return pattern, code_of
+
+
+def compress(data: bytes, symbols: list[bytes]) -> bytes:
+    if not data:
+        return b""
+    if not symbols:
+        # degenerate (table build saw no data): escape every byte,
+        # vectorized by interleaving an escape column with the data
+        arr = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(arr.size * 2, dtype=np.uint8)
+        out[0::2] = ESCAPE
+        out[1::2] = arr
+        return out.tobytes()
+    pattern, code_of = _compile(symbols)
+    esc = bytes([ESCAPE])
+
+    def repl(m, _get=code_of.get, _esc=esc):
+        s = m.group(0)
+        c = _get(s)
+        return c if c is not None else _esc + s
+
+    return pattern.sub(repl, data)
+
+
+def decompress(comp: bytes, symbols: list[bytes]) -> bytes:
+    """Vectorized FSST expansion."""
+    if not comp:
+        return b""
+    arr = np.frombuffer(comp, dtype=np.uint8)
+    n = arr.size
+    is_ff = arr == ESCAPE
+    # classify: within each maximal run of 0xFF, even offsets are escapes
+    escape_pos = np.zeros(n, dtype=bool)
+    if is_ff.any():
+        padded = np.concatenate(([False], is_ff))
+        run_starts = np.flatnonzero(is_ff & ~padded[:-1])
+        # run lengths via next non-ff
+        ff_idx = np.flatnonzero(is_ff)
+        # offset within run: index - start of its run
+        run_id = np.searchsorted(run_starts, ff_idx, side="right") - 1
+        offsets = ff_idx - run_starts[run_id]
+        escape_pos[ff_idx[offsets % 2 == 0]] = True
+    # a byte is a literal iff the previous byte is an escape
+    literal_pos = np.zeros(n, dtype=bool)
+    literal_pos[1:] = escape_pos[:-1]
+    symbol_pos = ~escape_pos & ~literal_pos
+    # build symbol lookup arrays
+    n_syms = len(symbols)
+    sym_lengths = np.zeros(256, dtype=np.int64)
+    sym_offsets = np.zeros(256, dtype=np.int64)
+    flat = bytearray()
+    for i, s in enumerate(symbols):
+        sym_offsets[i] = len(flat)
+        sym_lengths[i] = len(s)
+        flat += s
+    flat_arr = np.frombuffer(bytes(flat), dtype=np.uint8) if flat else np.zeros(0, np.uint8)
+    # output pieces, in stream order: symbols expand, literals are 1 byte
+    emit_pos = np.flatnonzero(~escape_pos)  # symbols and literals both emit
+    emit_bytes = arr[emit_pos]
+    emit_is_literal = literal_pos[emit_pos]
+    out_lengths = np.where(emit_is_literal, 1, sym_lengths[emit_bytes])
+    total = int(out_lengths.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # destinations
+    dst_offsets = np.zeros(emit_pos.size + 1, dtype=np.int64)
+    np.cumsum(out_lengths, out=dst_offsets[1:])
+    # literals: scatter directly
+    lit_sel = emit_is_literal
+    out[dst_offsets[:-1][lit_sel]] = emit_bytes[lit_sel]
+    # symbols: repeat+gather
+    sym_sel = ~emit_is_literal
+    if sym_sel.any():
+        s_bytes = emit_bytes[sym_sel]
+        s_lens = sym_lengths[s_bytes]
+        starts = sym_offsets[s_bytes]
+        src = np.repeat(starts, s_lens) + (
+            np.arange(int(s_lens.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(s_lens)[:-1])), s_lens)
+        )
+        dst = np.repeat(dst_offsets[:-1][sym_sel], s_lens) + (
+            np.arange(int(s_lens.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(s_lens)[:-1])), s_lens)
+        )
+        out[dst] = flat_arr[src]
+    return out.tobytes()
+
+
+class FsstCodec:
+    """String codec: shared symbol table + compressed concat buffer."""
+
+    name = "fsst"
+
+    def encode_strs(self, lengths: np.ndarray, data: bytes) -> bytes:
+        symbols = build_symbol_table(data)
+        comp = compress(data, symbols)
+        table = bytearray(struct.pack("<H", len(symbols)))
+        for s in symbols:
+            table.append(len(s))
+            table += s
+        return pack_sections(bytes(table), _encode_uint_vec(lengths), comp)
+
+    def decode_strs(self, payload: bytes, n: int) -> tuple[np.ndarray, bytes]:
+        table_sec, len_sec, comp = unpack_sections(payload, 3)
+        (n_syms,) = struct.unpack_from("<H", table_sec, 0)
+        pos = 2
+        symbols = []
+        for _ in range(n_syms):
+            ln = table_sec[pos]
+            pos += 1
+            symbols.append(table_sec[pos : pos + ln])
+            pos += ln
+        lengths = _decode_uint_vec(len_sec, n).astype(np.int64)
+        data = decompress(comp, symbols)
+        return lengths, data

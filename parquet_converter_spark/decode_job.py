@@ -1,0 +1,37 @@
+"""The decode pipeline: committed blocks → reconstructed transcript rows.
+
+``mapInPandas`` over block rows — each block row expands to up to
+chunk_rows transcript rows, all decoded with the vectorized numpy
+kernels (no per-row Python). Decode is embarrassingly parallel: no
+shuffle at all; global order is re-established only where a consumer
+asks for it (verification sorts by (conv_id, turn_idx)).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from . import checkpoint as ckpt
+from .codecs.blocks import decode_block
+from .schema import ENCODED_COLUMNS, TRANSCRIPT_SCHEMA
+
+
+def _decode_batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in iterator:
+        for _, row in pdf.iterrows():
+            cols = {}
+            for col in ENCODED_COLUMNS:
+                series, _codec = decode_block(bytes(row[f"{col}_blk"]))
+                cols[col] = series.reset_index(drop=True)
+            yield pd.DataFrame(cols)
+
+
+def decode_table(spark: SparkSession, io) -> DataFrame:
+    """Read committed blocks and reconstruct the transcript DataFrame."""
+    blocks = ckpt.committed_blocks(io).select(
+        *[f"{c}_blk" for c in ENCODED_COLUMNS]
+    )
+    return blocks.mapInPandas(_decode_batches, schema=TRANSCRIPT_SCHEMA)

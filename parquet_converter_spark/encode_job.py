@@ -1,0 +1,168 @@
+"""The encode pipeline (SURVEY.md §3.4):
+
+    source → resume anti-join → groupBy(bucket, salt)
+           → applyInPandas(sort, chunk, encode per column)
+           → blocks table + manifest + metrics commit
+
+All per-value work happens inside the grouped-map UDF on Arrow
+batches (vectorized numpy codecs); Spark's shuffle does the
+distribution. The manifest append is the commit point — see
+checkpoint.py for the resume/visibility contract.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import checkpoint as ckpt
+from .codecs.blocks import block_codec, encode_block
+from .partitioning import DEFAULT_SALT_ROWS, plan_num_buckets, with_group_keys
+from .schema import BLOCKS_STORED_SCHEMA, COLUMN_DTYPES, ENCODED_COLUMNS
+
+#: rows per encoded chunk — bounds Arrow batch and block sizes
+DEFAULT_CHUNK_ROWS = 65_536
+
+
+def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
+    """Build the grouped-map UDF. Everything below runs executor-side
+    on one (bucket, salt) group at a time."""
+
+    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket, salt = int(key[0]), int(key[1])
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        out_rows = []
+        n = len(pdf)
+        for chunk_idx, start in enumerate(range(0, n, chunk_rows)):
+            part = pdf.iloc[start : start + chunk_rows]
+            row: dict = {
+                "bucket": bucket,
+                "salt": salt,
+                "chunk": chunk_idx,
+                "n_rows": len(part),
+            }
+            meta = {}
+            for col in ENCODED_COLUMNS:
+                blob = encode_block(part[col], COLUMN_DTYPES[col], codec)
+                row[f"{col}_blk"] = bytearray(blob)
+                meta[col] = {"codec": block_codec(blob), "bytes": len(blob)}
+            row["meta"] = json.dumps(meta)
+            out_rows.append(row)
+        out = pd.DataFrame(out_rows)
+        out["run_id"] = run_id
+        return out
+
+    return encode_group
+
+
+def encode_table(
+    spark: SparkSession,
+    df: DataFrame,
+    io,
+    run_id: str | None = None,
+    codec: str = "auto",
+    salt_rows: int = DEFAULT_SALT_ROWS,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    num_buckets: int | None = None,
+    resume: bool = True,
+    max_groups: int | None = None,
+) -> dict:
+    """Encode a transcript DataFrame into the blocks table at ``io``.
+
+    Returns a summary dict (groups encoded, rows, encoded bytes).
+    ``max_groups`` bounds how many pending groups this invocation
+    commits — used by the kill/resume test and usable as incremental
+    batch commit on a real cluster.
+    """
+    run_id = run_id or f"run_{int(time.time() * 1000):x}"
+    if num_buckets is None:
+        # cheap planning count: parquet metadata count when df is a scan
+        n_rows = df.count()
+        parallelism = spark.sparkContext.defaultParallelism
+        num_buckets = plan_num_buckets(n_rows, salt_rows, parallelism)
+
+    keyed = with_group_keys(df, num_buckets, salt_rows)
+
+    planned = keyed.select("bucket", "salt").distinct()
+    pending = ckpt.pending_groups(io, planned) if resume else planned
+    if max_groups is not None:
+        pending = pending.orderBy("bucket", "salt").limit(max_groups)
+    # broadcast the pending-group list: it is tiny relative to the data
+    # (one row per ~64k input rows) and turns the resume filter into a
+    # map-side semi join — no extra shuffle of the big table.
+    todo = keyed.join(F.broadcast(pending), ["bucket", "salt"], "left_semi")
+
+    blocks = todo.groupBy("bucket", "salt").applyInPandas(
+        _encode_group_fn(run_id, codec, chunk_rows), schema=BLOCKS_STORED_SCHEMA
+    )
+    io.append(blocks, ckpt.BLOCKS, compression="uncompressed")
+
+    # ---- commit: derive manifest + metrics from what actually landed
+    written = io.read(ckpt.BLOCKS).where(F.col("run_id") == run_id)
+    size_expr = sum(
+        [F.coalesce(F.length(F.col(f"{c}_blk")), F.lit(0)) for c in ENCODED_COLUMNS],
+        F.lit(0),
+    )
+    manifest = (
+        written.select("bucket", "salt", "n_rows", size_expr.alias("blk_bytes"))
+        .groupBy("bucket", "salt")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("blk_bytes").alias("encoded_bytes"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "bucket",
+            "salt",
+            "n_chunks",
+            "n_rows",
+            "encoded_bytes",
+            F.lit("done").alias("status"),
+        )
+    )
+    io.append(manifest, ckpt.MANIFEST, compression="snappy")
+
+    # per-(group, column) codec metrics from the meta JSON
+    meta_schema = "map<string, struct<codec:string, bytes:bigint>>"
+    metrics = (
+        written.select(
+            "bucket", "salt", F.from_json("meta", meta_schema).alias("m")
+        )
+        .select("bucket", "salt", F.explode("m").alias("column", "cm"))
+        .groupBy("bucket", "salt", "column")
+        .agg(
+            F.max(F.col("cm.codec")).alias("codec"),
+            F.sum(F.col("cm.bytes")).alias("encoded_bytes"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "bucket",
+            "salt",
+            "column",
+            "codec",
+            "encoded_bytes",
+        )
+    )
+    io.append(metrics, ckpt.METRICS, compression="snappy")
+
+    summary = (
+        io.read(ckpt.MANIFEST)
+        .where(F.col("run_id") == run_id)
+        .agg(
+            F.count("*").alias("groups"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+        )
+        .collect()[0]
+    )
+    return {
+        "run_id": run_id,
+        "groups": summary["groups"] or 0,
+        "rows": summary["rows"] or 0,
+        "encoded_bytes": summary["encoded_bytes"] or 0,
+        "num_buckets": num_buckets,
+    }

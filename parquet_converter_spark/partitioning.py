@@ -1,0 +1,46 @@
+"""Partitioning & skew handling: conv_id hash buckets + turn_idx salting.
+
+Group key = (bucket, salt) where
+
+    bucket = pmod(xxhash64(conv_id), num_buckets)
+    salt   = floor(turn_idx / salt_rows)
+
+Properties that make this hold at 10^12 turns:
+
+* **No pre-pass needed** — unlike a groupBy(conv_id).count() sizing
+  pass, the key is a pure column expression, so planning is O(0) and
+  the single shuffle is the applyInPandas grouping itself.
+* **Skew-proof by construction** — a pathological 10^8-turn
+  conversation lands in ceil(len / salt_rows) DIFFERENT groups, so no
+  single task serializes a stage (SURVEY.md §7.3 #3). AQE cannot
+  rebalance grouped-map UDF groups (SURVEY.md §4), so the salt must —
+  and does — bound every group to ≈ salt_rows rows.
+* **Run structure preserved** — salting splits on contiguous turn_idx
+  ranges, so within a group each conversation's turns stay contiguous
+  and sorted → RLE runs and delta chains survive (after the in-UDF
+  sort by (conv_id, turn_idx)).
+* **Deterministic** — xxhash64 is a fixed Spark builtin; the same
+  (table, num_buckets, salt_rows) always produces the same grouping →
+  resume anti-joins line up across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SALT_ROWS = 65_536
+
+
+def with_group_keys(
+    df: DataFrame, num_buckets: int, salt_rows: int = DEFAULT_SALT_ROWS
+) -> DataFrame:
+    """Add (bucket, salt) group-key columns. Pure projection, no shuffle."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(num_buckets)).cast("int")
+    ).withColumn("salt", (F.col("turn_idx") / F.lit(salt_rows)).cast("long"))
+
+
+def plan_num_buckets(n_rows: int, salt_rows: int = DEFAULT_SALT_ROWS, parallelism: int = 32) -> int:
+    """Target ≈ salt_rows rows per (bucket, salt=0) group, with at least
+    2×parallelism buckets so every core has work."""
+    return max(2 * parallelism, (n_rows + salt_rows - 1) // salt_rows)

@@ -1,0 +1,81 @@
+"""Schemas: transcript input, encoded blocks, manifest, metrics.
+
+The transcript schema is fixed by BASELINE.json input_hint (the new
+engine needs no inference — contrast with the reference's sampled
+schema inference, /root/reference/parquet_converter/converter.py:453-511).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+#: per-column logical type class used by the codec layer
+COLUMN_DTYPES = {
+    "conv_id": "str",
+    "turn_idx": "int32",
+    "role": "str",
+    "text": "str",
+    "tool": "str",
+    "ts": "ts_us",
+}
+
+ENCODED_COLUMNS = list(COLUMN_DTYPES)
+
+# one row per (bucket, salt, chunk): framed binary block per column +
+# a JSON meta string with per-column codec + byte sizes
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("salt", T.LongType(), False),
+        T.StructField("chunk", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        *[
+            T.StructField(f"{c}_blk", T.BinaryType(), True)
+            for c in ENCODED_COLUMNS
+        ],
+        T.StructField("meta", T.StringType(), True),
+    ]
+)
+
+# blocks as physically stored: BLOCKS_SCHEMA + the writing run's id
+BLOCKS_STORED_SCHEMA = T.StructType(
+    list(BLOCKS_SCHEMA.fields) + [T.StructField("run_id", T.StringType(), False)]
+)
+
+# per-group lineage manifest — the distributed analog of the
+# reference's per-file ConversionStats (/root/reference/
+# parquet_converter/stats.py:8-50, logging.py:208-217)
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("salt", T.LongType(), False),
+        T.StructField("n_chunks", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("encoded_bytes", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+# per (group, column) codec/size metrics
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("salt", T.LongType(), False),
+        T.StructField("column", T.StringType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("encoded_bytes", T.LongType(), False),
+    ]
+)

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults follow the sandbox (local[N], single JVM); on a
+real cluster the same builder is driven by spark-submit --conf, and
+the settings below remain the right defaults (AQE on, Arrow on,
+shuffle partitions sized by the submitter).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "parquet_converter_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+    try:
+        n_cores = int(cores) if cores != "*" else (os.cpu_count() or 8)
+    except ValueError:
+        n_cores = 8
+    shuffle_partitions = shuffle_partitions or max(8, 2 * n_cores)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # block rows are huge (up to 65k turns per row) — keep Arrow
+        # batches into python workers small enough to bound memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    return builder.getOrCreate()

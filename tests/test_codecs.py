@@ -1,0 +1,181 @@
+"""Known-answer + property-style roundtrip tests for every codec
+(SURVEY.md §5 carry-over items 2 and 3). Spark-free — pure numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parquet_converter_spark.codecs import (
+    CODECS,
+    ELIGIBLE,
+    block_codec,
+    decode_block,
+    encode_block,
+)
+from parquet_converter_spark.codecs.primitives import (
+    bitpack,
+    bitunpack,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+rng = np.random.default_rng(7)
+
+
+def _roundtrip(series: pd.Series, dtype: str, codec: str | None):
+    blob = encode_block(series, dtype, codec)
+    out, used = decode_block(blob)
+    assert list(series.isna()) == list(out.isna()), (dtype, codec)
+    a = series[series.notna()]
+    b = out[out.notna()]
+    if dtype == "ts_us":
+        a = pd.to_datetime(a).astype("datetime64[us]")
+        b = pd.to_datetime(b).astype("datetime64[us]")
+        assert list(a) == list(b), (dtype, codec)
+    else:
+        assert list(a) == list(b), (dtype, codec)
+    return blob, used
+
+
+# ---------------------------------------------------------------- primitives
+
+
+def test_bitpack_roundtrip():
+    for width in [0, 1, 3, 7, 8, 13, 31, 33, 64]:
+        n = 257
+        vals = rng.integers(0, 2, n).astype(np.uint64) if width == 1 else (
+            rng.integers(0, 2 ** min(width, 63), n, dtype=np.uint64)
+            if width
+            else np.zeros(n, dtype=np.uint64)
+        )
+        out = bitunpack(bitpack(vals, width), n, width)
+        assert (out == vals).all(), width
+
+
+def test_zigzag():
+    vals = np.array([0, -1, 1, -2, 2, 2**62, -(2**62), np.iinfo(np.int64).min + 1])
+    assert (zigzag_decode(zigzag_encode(vals)) == vals).all()
+
+
+# ------------------------------------------------------------- known answers
+
+
+def test_rle_known_answer():
+    # 3 runs: aaa bb c → run codes + lengths
+    s = pd.Series(["a", "a", "a", "b", "b", "c"], dtype=object)
+    blob = encode_block(s, "str", "rle")
+    out, used = decode_block(blob)
+    assert used == "rle"
+    assert out.tolist() == ["a", "a", "a", "b", "b", "c"]
+
+
+def test_dict_known_answer():
+    s = pd.Series(["user", "assistant", "user", None, "user"], dtype=object)
+    blob = encode_block(s, "str", "dict")
+    out, _ = decode_block(blob)
+    assert out.tolist()[:3] == ["user", "assistant", "user"]
+    assert out.isna().tolist() == [False, False, False, True, False]
+
+
+def test_delta_known_answer():
+    s = pd.Series(np.array([100, 101, 102, 103], dtype=np.int64))
+    blob = encode_block(s, "int64", "delta")
+    out, _ = decode_block(blob)
+    assert out.tolist() == [100, 101, 102, 103]
+    # constant delta of 1 → tiny block
+    assert len(blob) < 64
+
+
+def test_forbp_known_answer():
+    s = pd.Series(np.array([1_000_000, 1_000_003, 1_000_001], dtype=np.int64))
+    out, _ = decode_block(encode_block(s, "int64", "forbp"))
+    assert out.tolist() == [1_000_000, 1_000_003, 1_000_001]
+
+
+# --------------------------------------------------------------- properties
+
+
+INT_CASES = {
+    "empty": np.array([], dtype=np.int64),
+    "single": np.array([42], dtype=np.int64),
+    "constant": np.full(1000, -7, dtype=np.int64),
+    "sequential": np.arange(5000, dtype=np.int64),
+    "random": rng.integers(-(2**40), 2**40, 3000),
+    "extremes": np.array(
+        [np.iinfo(np.int64).min + 1, np.iinfo(np.int64).max, 0, -1, 1]
+    ),
+    "runs": np.repeat(rng.integers(0, 5, 50), rng.integers(1, 100, 50)),
+}
+
+
+@pytest.mark.parametrize("case", list(INT_CASES))
+@pytest.mark.parametrize("codec", ELIGIBLE["int64"] + [None])
+def test_int_roundtrip(case, codec):
+    _roundtrip(pd.Series(INT_CASES[case]), "int64", codec)
+
+
+STR_CASES = {
+    "empty": [],
+    "single": ["x"],
+    "empties_and_nulls": ["", None, "", "a", None, ""],
+    "unicode": ["héllo", "🎉🎊", "ünïcode ✓", "\x00zero", "tab\there"],
+    "runs": ["user"] * 50 + ["assistant"] * 50 + ["tool"] * 3,
+    "long": ["x" * 100_000, "short", "y" * 70_000],
+    "random_words": [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], rng.integers(1, 20)))
+        for _ in range(500)
+    ],
+    "all_null": [None, None, None],
+}
+
+
+@pytest.mark.parametrize("case", list(STR_CASES))
+@pytest.mark.parametrize("codec", ELIGIBLE["str"] + [None])
+def test_str_roundtrip(case, codec):
+    _roundtrip(pd.Series(STR_CASES[case], dtype=object), "str", codec)
+
+
+@pytest.mark.parametrize("codec", ELIGIBLE["ts_us"] + [None])
+def test_ts_roundtrip(codec):
+    base = pd.Timestamp("2024-03-01 12:00:00")
+    ts = pd.Series(
+        [base + pd.Timedelta(microseconds=int(d)) for d in np.cumsum(rng.integers(1, 10**7, 500))]
+    )
+    ts.iloc[5] = pd.NaT
+    ts.iloc[499] = pd.NaT
+    _roundtrip(ts, "ts_us", codec)
+
+
+def test_ts_microsecond_precision():
+    ts = pd.Series(pd.to_datetime(["2024-01-01 00:00:00.000001", "2024-01-01 00:00:00.999999"]))
+    out, _ = decode_block(encode_block(ts, "ts_us", "delta"))
+    assert out.astype("datetime64[us]").tolist() == ts.astype("datetime64[us]").tolist()
+
+
+@pytest.mark.parametrize("codec", ELIGIBLE["int32"] + [None])
+def test_int32_nullable_roundtrip(codec):
+    s = pd.Series(pd.array([1, None, 3, 3, 3, -2, None, 0] * 40, dtype="Int32"))
+    _roundtrip(s, "int32", codec)
+
+
+def test_auto_selects_reasonably():
+    # sequential ints → delta; low-cardinality runs → rle or dict
+    seq = pd.Series(np.arange(10_000, dtype=np.int64))
+    blob = encode_block(seq, "int64", None)
+    assert block_codec(blob) == "delta"
+    roles = pd.Series((["user"] * 30 + ["assistant"] * 30) * 100, dtype=object)
+    blob = encode_block(roles, "str", None)
+    assert block_codec(blob) in ("rle", "dict")
+
+
+def test_compression_beats_plain_on_text():
+    words = ["the", "quick", "brown", "fox", "query", "spark", "encode"]
+    texts = pd.Series(
+        [" ".join(rng.choice(words, rng.integers(5, 40))) for _ in range(3000)],
+        dtype=object,
+    )
+    auto = encode_block(texts, "str", None)
+    raw = sum(len(t.encode()) for t in texts)
+    assert len(auto) < raw * 0.5
