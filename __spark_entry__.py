@@ -1,38 +1,445 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full engine pipeline (synth →
+salted encode with codec auto-selection → decode → bit-identity
+verify) on a deterministic transcript table, returning the
+per-column codec/size metrics DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data operators (dedup, similarity,
+text analysis). Aliases match between Spark and SQL; float aggregates
+are rounded so value-hashes agree across engines; DuckDB integer SUMs
+are cast to BIGINT to match Spark's long.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_converter_spark.functions import casts
+from parquet_converter_spark.operators import dedup, profile, similarity, textstats
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Engine e2e at small scale; returns per-column codec metrics.
+
+    Raises if decode is not bit-identical — the north_rule invariant
+    is enforced inside the flagship, not just in pytest.
+    """
+    from parquet_converter_spark import checkpoint as ckpt
+    from parquet_converter_spark.decode_job import decode_table
+    from parquet_converter_spark.encode_job import encode_table
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.synth import synth_pandas
+    from parquet_converter_spark.tableio import ParquetDirTableIO
+    from parquet_converter_spark.verify import verify_decode
+
+    tmp = tempfile.mkdtemp(prefix="pcs_entry_")
+    try:
+        pdf = synth_pandas(n_convs=60, seed=42)
+        df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+        io = ParquetDirTableIO(spark, tmp)
+        encode_table(spark, df, io, run_id="entry", salt_rows=2048, num_buckets=8)
+        decoded = decode_table(spark, io)
+        result = verify_decode(decoded, df)
+        if not result["ok"]:
+            raise AssertionError(f"decode not bit-identical: {result}")
+        metrics = (
+            io.read(ckpt.METRICS)
+            .groupBy("column", "codec")
+            .agg(
+                F.sum("encoded_bytes").alias("encoded_bytes"),
+                F.count("*").alias("groups"),
+            )
+            .orderBy("column", "codec")
+        )
+        metrics = spark.createDataFrame(metrics.collect(), metrics.schema)
+        return metrics
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.4/§2.5 profiling aggregates (oracle-checked)
+
+
+def _q_row_count(spark, sf):
+    return profile.row_count(_t(spark, sf, "lineitem"))
+
+
+def _q_distinct_count(spark, sf):
+    return profile.distinct_count(_t(spark, sf, "lineitem"), "l_partkey")
+
+
+def _q_null_count(spark, sf):
+    return profile.null_count(_t(spark, sf, "events"), "props")
+
+
+def _q_numeric_profile(spark, sf):
+    return profile.numeric_profile(_t(spark, sf, "lineitem"), "l_extendedprice")
+
+
+def _q_value_counts_top5(spark, sf):
+    return profile.value_counts_top5(_t(spark, sf, "lineitem"), "l_returnflag")
+
+
+def _q_null_unique_pct(spark, sf):
+    return profile.null_unique_pct(_t(spark, sf, "orders"), "o_orderpriority")
+
+
+def _q_profile_all_columns(spark, sf):
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    return profile.profile_all_columns(_t(spark, sf, "orders"), cols)
+
+
+def _q_summary_rollup(spark, sf):
+    return profile.summary_rollup(_t(spark, sf, "orders"), "o_orderstatus", "o_totalprice")
+
+
+def _q_head_n(spark, sf):
+    df = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_str"),
+    )
+    return profile.head_n(df, ["l_orderkey", "l_linenumber"], 10)
+
+
+def _q_tail_n(spark, sf):
+    df = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    return profile.tail_n(df, ["l_orderkey", "l_linenumber"], 10)
+
+
+def _q_sample_n(spark, sf):
+    df = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    return profile.sample_n(
+        df, "concat(cast(l_orderkey as string), '-', cast(l_linenumber as string))", 10
+    )
+
+
+def _q_filter_project_agg(spark, sf):
+    """P1/P2 + predicate pushdown: filtered grouped revenue."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < "1996-01-01")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_anti_join_resume(spark, sf):
+    """§2.6 — the resume pattern: planned minus completed via LEFT ANTI."""
+    orders = _t(spark, sf, "orders")
+    done = _t(spark, sf, "customer").where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        orders.join(done, "o_custkey", "left_anti")
+        .agg(F.count("*").alias("pending_orders"), F.countDistinct("o_custkey").alias("pending_custs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 cast battery (oracle-checked)
+
+
+def _q_typed_cast_battery(spark, sf):
+    ev = _t(spark, sf, "events")
+    s_int = F.col("event_id").cast("string")
+    bool_src = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("true"))
+        .when(F.col("event_id") % 3 == 1, F.lit("0"))
+        .otherwise(F.lit("maybe"))
+    )
+    as_long, as_double = casts.parse_int_or_double(s_int)
+    return ev.select(
+        "event_id",
+        F.concat(F.lit("x"), s_int).try_cast("long").alias("bad_long"),
+        as_long.alias("good_long"),
+        as_double.alias("good_double"),
+        casts.parse_boolean(bool_src).alias("as_bool"),
+        F.lower("event_type").alias("lc_type"),
+        casts.coerce_string(F.col("value") > 0).alias("gt_zero_str"),
+    )
+
+
+def _q_datetime_parse_formats(spark, sf):
+    ev = _t(spark, sf, "events")
+    s = F.when(
+        F.col("event_id") % 2 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    ).otherwise(F.date_format("ts", "MM/dd/yyyy HH:mm:ss"))
+    parsed = casts.parse_datetime_formats(s, ["yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss"])
+    return ev.select(
+        "event_id",
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed_str"),
+    )
+
+
+def _q_json_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return ev.agg(
+        F.sum(k).alias("k_total"),
+        F.countDistinct(k).alias("k_distinct"),
+        (F.count("*") - F.count(k)).alias("k_nulls"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops (oracle-checked where SQL-expressible)
+
+
+def _q_dedup_exact_prefix(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return dedup.exact_dup_groups(docs, "text", "doc_id")
+
+
+def _q_distinct_docs(spark, sf):
+    return dedup.distinct_count_after_dedup(_t(spark, sf, "documents"))
+
+
+def _q_token_count_stats(spark, sf):
+    return textstats.token_count_stats(_t(spark, sf, "documents"))
+
+
+def _q_quality_scores(spark, sf):
+    return textstats.quality_score(_t(spark, sf, "documents"))
+
+
+def _q_lang_distribution(spark, sf):
+    return textstats.lang_distribution(_t(spark, sf, "documents"))
+
+
+def _q_ann_topk_cosine(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk(emb, [float(x) for x in qvec], k=10)
+
+
+def _q_embedding_norms(spark, sf):
+    return similarity.embedding_norms(_t(spark, sf, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible: engine codecs, hash-seeded LSH)
+
+
+def _q_codec_roundtrip_metrics(spark, sf):
+    """Engine e2e (encode→decode→verify) — deterministic metrics."""
+    return entry(spark)
+
+
+def _q_minhash_dup_candidates(spark, sf):
+    docs = _t(spark, sf, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return dedup.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def _q_simhash_fingerprints(spark, sf):
+    return dedup.simhash(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _q_doc_fingerprints(spark, sf):
+    return textstats.fingerprint(_t(spark, sf, "documents"))
+
+
+def _q_lang_id_pred(spark, sf):
+    return textstats.lang_id(_t(spark, sf, "documents"))
+
+
+def _q_lsh_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    dim = len(qvec)
+    return similarity.ann_topk(emb, [float(x) for x in qvec], dim, k=10, n_planes=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # §2.4/§2.5 profiling (A1–A10, L1–L5)
+        "row_count": _q_row_count,
+        "distinct_count": _q_distinct_count,
+        "null_count": _q_null_count,
+        "numeric_profile": _q_numeric_profile,
+        "value_counts_top5": _q_value_counts_top5,
+        "null_unique_pct": _q_null_unique_pct,
+        "profile_all_columns": _q_profile_all_columns,
+        "summary_rollup": _q_summary_rollup,
+        "head_n": _q_head_n,
+        "tail_n": _q_tail_n,
+        "sample_n": _q_sample_n,
+        "filter_project_agg": _q_filter_project_agg,
+        "anti_join_resume": _q_anti_join_resume,
+        # §2.3 casts (C1–C5)
+        "typed_cast_battery": _q_typed_cast_battery,
+        "datetime_parse_formats": _q_datetime_parse_formats,
+        "json_extract": _q_json_extract,
+        # training-data ops
+        "dedup_exact_prefix": _q_dedup_exact_prefix,
+        "distinct_docs": _q_distinct_docs,
+        "token_count_stats": _q_token_count_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_distribution": _q_lang_distribution,
+        "ann_topk_cosine": _q_ann_topk_cosine,
+        "embedding_norms": _q_embedding_norms,
+        # rows-only: engine codecs + seeded-hash ops
+        "codec_roundtrip_metrics": _q_codec_roundtrip_metrics,
+        "minhash_dup_candidates": _q_minhash_dup_candidates,
+        "simhash_fingerprints": _q_simhash_fingerprints,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "lang_id_pred": _q_lang_id_pred,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = ", ".join(f"'{w}'" for w in textstats.STOPWORDS_EN)
+    return {
+        "row_count": "SELECT COUNT(*) AS cnt FROM lineitem",
+        "distinct_count": "SELECT COUNT(DISTINCT l_partkey) AS uniq FROM lineitem",
+        "null_count": "SELECT COUNT(*) - COUNT(props) AS nulls FROM events",
+        "numeric_profile": """
+            SELECT round(MIN(l_extendedprice), 4) AS mn,
+                   round(MAX(l_extendedprice), 4) AS mx,
+                   round(AVG(l_extendedprice), 4) AS mean,
+                   round(MEDIAN(l_extendedprice), 4) AS med,
+                   round(STDDEV_SAMP(l_extendedprice), 4) AS sd
+            FROM lineitem""",
+        "value_counts_top5": """
+            SELECT l_returnflag AS v, COUNT(*) AS c FROM lineitem
+            GROUP BY 1 ORDER BY c DESC, v ASC LIMIT 5""",
+        "null_unique_pct": """
+            SELECT round(100.0 * (COUNT(*) - COUNT(o_orderpriority)) / GREATEST(COUNT(*), 1), 2) AS null_pct,
+                   round(100.0 * COUNT(DISTINCT o_orderpriority) / GREATEST(COUNT(*), 1), 2) AS uniq_pct
+            FROM orders""",
+        "profile_all_columns": """
+            SELECT COUNT(DISTINCT o_orderkey) AS uniq_o_orderkey,
+                   COUNT(*) - COUNT(o_orderkey) AS nulls_o_orderkey,
+                   COUNT(DISTINCT o_custkey) AS uniq_o_custkey,
+                   COUNT(*) - COUNT(o_custkey) AS nulls_o_custkey,
+                   COUNT(DISTINCT o_orderstatus) AS uniq_o_orderstatus,
+                   COUNT(*) - COUNT(o_orderstatus) AS nulls_o_orderstatus,
+                   COUNT(DISTINCT o_totalprice) AS uniq_o_totalprice,
+                   COUNT(*) - COUNT(o_totalprice) AS nulls_o_totalprice,
+                   COUNT(DISTINCT o_orderpriority) AS uniq_o_orderpriority,
+                   COUNT(*) - COUNT(o_orderpriority) AS nulls_o_orderpriority
+            FROM orders""",
+        "summary_rollup": """
+            SELECT o_orderstatus AS k, COUNT(*) AS n,
+                   round(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1 ORDER BY k""",
+        "head_n": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                   l_returnflag, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str
+            FROM lineitem ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 10""",
+        "tail_n": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 10""",
+        "sample_n": """
+            SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+            ORDER BY md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))) LIMIT 10""",
+        "filter_project_agg": """
+            SELECT l_returnflag, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1 ORDER BY l_returnflag""",
+        "anti_join_resume": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS pending_orders,
+                   COUNT(DISTINCT o_custkey) AS pending_custs
+            FROM orders WHERE NOT EXISTS (
+                SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_custkey % 10 = 0)""",
+        "typed_cast_battery": """
+            SELECT event_id,
+                   TRY_CAST(concat('x', CAST(event_id AS VARCHAR)) AS BIGINT) AS bad_long,
+                   TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS good_long,
+                   TRY_CAST(CAST(event_id AS VARCHAR) AS DOUBLE) AS good_double,
+                   CASE lower(CASE WHEN event_id % 3 = 0 THEN 'true'
+                                   WHEN event_id % 3 = 1 THEN '0'
+                                   ELSE 'maybe' END)
+                        WHEN 'true' THEN TRUE WHEN '1' THEN TRUE
+                        WHEN 'false' THEN FALSE WHEN '0' THEN FALSE
+                        ELSE NULL END AS as_bool,
+                   lower(event_type) AS lc_type,
+                   CAST(value > 0 AS VARCHAR) AS gt_zero_str
+            FROM events""",
+        "datetime_parse_formats": """
+            SELECT event_id,
+                   strftime(
+                     coalesce(
+                       try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+                       try_strptime(s, '%m/%d/%Y %H:%M:%S')),
+                     '%Y-%m-%d %H:%M:%S') AS parsed_str
+            FROM (SELECT event_id,
+                         CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                              ELSE strftime(ts, '%m/%d/%Y %H:%M:%S') END AS s
+                  FROM events)""",
+        "json_extract": """
+            SELECT CAST(SUM(k) AS BIGINT) AS k_total,
+                   COUNT(DISTINCT k) AS k_distinct,
+                   COUNT(*) - COUNT(k) AS k_nulls
+            FROM (SELECT TRY_CAST(props ->> '$.k' AS BIGINT) AS k FROM events)""",
+        "dedup_exact_prefix": """
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+            FROM (SELECT doc_id, substr(text, 1, 40) AS t FROM documents)
+            GROUP BY t HAVING COUNT(*) > 1 ORDER BY keep_id""",
+        "distinct_docs": "SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents",
+        "token_count_stats": """
+            SELECT CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                   round(AVG(nt), 4) AS avg_tokens,
+                   CAST(MAX(nt) AS INT) AS max_tokens
+            FROM (SELECT len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS nt
+                  FROM documents)""",
+        "quality_scores": """
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                         / GREATEST(length(text), 1), 4) AS punct_ratio,
+                   round(len(list_filter(toks, x -> lower(x) IN ({stop})))
+                         / GREATEST(len(toks), 1), 4) AS stopword_ratio,
+                   round((length(text) - (len(toks) - 1)) / GREATEST(len(toks), 1), 4) AS mean_word_len
+            FROM (SELECT doc_id, text,
+                         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+                  FROM documents)
+            ORDER BY doc_id""".replace("{stop}", stop_en),
+        "lang_distribution": """
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang""",
+        "ann_topk_cosine": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            z AS (SELECT e.vec_id,
+                         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                         CAST(unnest(q.qe) AS DOUBLE) AS y
+                  FROM embeddings e CROSS JOIN q),
+            s AS (SELECT vec_id, SUM(x * y) AS dot,
+                         sqrt(SUM(x * x)) AS na, sqrt(SUM(y * y)) AS nb
+                  FROM z GROUP BY vec_id)
+            SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim
+            FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+            FROM embeddings ORDER BY vec_id""",
+    }

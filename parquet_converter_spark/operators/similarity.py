@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+* Brute-force cosine top-k — the correctness baseline: double-precision
+  dot/norm via zip_with + aggregate (JVM-side, no explode, no UDF),
+  one global top-k (orderBy + limit → Spark's TakeOrdered, no full
+  sort at scale).
+* LSH-bucketed ANN — the scale path: deterministic random-hyperplane
+  signatures (seeded numpy planes shipped as literals), search only
+  within the query's bucket. At 10^12 rows the bucket join replaces
+  the full scan; brute force stays as the in-bucket scorer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+    Rounded to 6dp (double-sum precision ≫ rounding grain) with id
+    tiebreak so results are engine-independent."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), F.round(_norm(F.col(vec_col)), 6).alias("l2_norm")
+    ).orderBy(id_col)
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH: sign(v·p) per seeded plane → bit signature.
+    Planes are deterministic (seed) and shipped as literal arrays —
+    no driver-side state, no UDF."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = F.lit(0).cast("long")
+    for i in range(n_planes):
+        p = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (_dot(F.col(vec_col), p) > 0).cast("long")
+        bits = bits.bitwiseOR(F.shiftleft(bit, i))
+    return df.select(F.col(id_col), bits.alias("lsh_bucket"))
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed ANN: score only vectors sharing the query's bucket.
+    Approximate by construction (bucket may miss true neighbors);
+    n_planes trades recall for per-bucket scan size."""
+    sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qsig = 0
+    qnp = np.asarray(query_vec, dtype=np.float64)
+    for i in range(n_planes):
+        if float(planes[i] @ qnp) > 0:
+            qsig |= 1 << i
+    bucket = df.join(sigs.where(F.col("lsh_bucket") == qsig).select(id_col), id_col)
+    return cosine_topk(bucket, query_vec, k, vec_col, id_col)
