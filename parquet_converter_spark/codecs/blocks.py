@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .core import DeltaCodec, DictCodec, ForBitpackCodec, PlainCodec, RleCodec
+from .core import DeltaCodec, DictCodec, ForBitpackCodec, PlainCodec, RleCodec, WdictCodec
 from .fsst import FsstCodec
 from .strutil import buf_to_strings, strings_to_buf
 
@@ -44,8 +44,12 @@ CODECS = {
     "forbp": ForBitpackCodec(),
     "delta": DeltaCodec(),
     "fsst": FsstCodec(),
+    "wdict": WdictCodec(),
 }
-CODEC_IDS = {name: i for i, name in enumerate(["plain", "dict", "rle", "forbp", "delta", "fsst"])}
+CODEC_IDS = {
+    name: i
+    for i, name in enumerate(["plain", "dict", "rle", "forbp", "delta", "fsst", "wdict"])
+}
 CODEC_NAMES = {i: n for n, i in CODEC_IDS.items()}
 
 DTYPE_IDS = {"str": 0, "int64": 1, "ts_us": 2, "int32": 3}
@@ -53,7 +57,7 @@ DTYPE_NAMES = {i: n for n, i in DTYPE_IDS.items()}
 
 # which codecs can encode which type class
 ELIGIBLE = {
-    "str": ["dict", "rle", "fsst", "plain"],
+    "str": ["dict", "rle", "wdict", "fsst", "plain"],
     "int64": ["delta", "forbp", "rle", "plain"],
     "ts_us": ["delta", "forbp", "plain"],
     "int32": ["delta", "forbp", "rle", "dict", "plain"],
@@ -140,7 +144,22 @@ def _codec_decode(codec_name: str, dtype: str, payload: bytes, n: int):
     return codec.decode_ints(payload, n)
 
 
-def choose_codec(canonical, dtype: str, sample_n: int = 4096) -> str:
+def _str_sample(lengths, data, max_rows: int, max_bytes: int):
+    """Prefix sample of a string chunk bounded by rows AND bytes."""
+    n = len(lengths)
+    take = min(n, max_rows)
+    s_lengths = lengths[:take]
+    csum = int(s_lengths.sum())
+    if csum > max_bytes:
+        import numpy as np
+
+        cut = int(np.searchsorted(np.cumsum(s_lengths), max_bytes)) or 1
+        s_lengths = s_lengths[:cut]
+        csum = int(s_lengths.sum())
+    return (s_lengths, data[:csum]), (int(lengths.sum()) or 1) / max(csum, 1)
+
+
+def choose_codec(canonical, dtype: str, sample_n: int = 1024) -> str:
     """Sample-based cost model: encode a bounded sample with every
     eligible codec, extrapolate, pick the argmin.
 
@@ -149,38 +168,75 @@ def choose_codec(canonical, dtype: str, sample_n: int = 4096) -> str:
     100k-row sampled schema at :573-574) repurposed: sample each
     (partition, column) chunk, estimate encoded size per codec, pin
     the winner for the full chunk.
+
+    Cost controls (selection must stay ≪ encode):
+    * strings sample ≤ sample_n rows / 128 KiB; FSST (the slowest
+      sampler) gets its own ≤ 32 KiB sample;
+    * dict/RLE are screened out by a cheap cardinality probe when the
+      sample is nearly all-distinct (they cannot win there).
     """
+    import numpy as np
+
     if dtype == "str":
         lengths, data = canonical
         n = len(lengths)
         if n == 0:
             return "plain"
-        if n > sample_n:
-            s_lengths = lengths[:sample_n]
-            s_data = data[: int(s_lengths.sum())]
-            sample = (s_lengths, s_data)
-            scale = lengths.sum() / max(int(s_lengths.sum()), 1)
-        else:
-            sample, scale = (lengths, data), 1.0
-    else:
-        n = len(canonical)
-        if n == 0:
+        sample, scale = _str_sample(lengths, data, sample_n, 128 * 1024)
+        sizes: dict[str, float] = {}
+        # cardinality screen on the sampled rows
+        from .strutil import buf_to_strings
+
+        s_vals = buf_to_strings(*sample)
+        uniq_ratio = len(pd.unique(s_vals)) / max(len(s_vals), 1)
+        candidates = ["plain", "wdict"]
+        if uniq_ratio < 0.6:
+            candidates += ["dict", "rle"]
+        for name in candidates:
+            try:
+                payload = _codec_encode(name, dtype, sample)
+            except Exception:
+                continue
+            _, wrapped = _maybe_compress(payload)
+            sizes[name] = len(wrapped) * scale
+        # FSST on its own smaller sample (regex scan is Python-bound)
+        f_sample, f_scale = _str_sample(lengths, data, sample_n, 32 * 1024)
+        try:
+            payload = _codec_encode("fsst", dtype, f_sample)
+            _, wrapped = _maybe_compress(payload)
+            sizes["fsst"] = len(wrapped) * f_scale
+        except Exception:
+            pass
+        if not sizes:
             return "plain"
-        if n > sample_n:
-            sample, scale = canonical[:sample_n], n / sample_n
-        else:
-            sample, scale = canonical, 1.0
-    best, best_sz = "plain", float("inf")
+        best = min(sizes, key=sizes.get)
+        if best == "fsst":
+            fast = {k: v for k, v in sizes.items() if k != "fsst"}
+            if fast:
+                alt = min(fast, key=fast.get)
+                # speed-aware tie-break: FSST only when meaningfully smaller
+                if sizes["fsst"] > 0.92 * fast[alt]:
+                    return alt
+        return best
+
+    n = len(canonical)
+    if n == 0:
+        return "plain"
+    if n > sample_n:
+        sample, scale = canonical[:sample_n], n / sample_n
+    else:
+        sample, scale = canonical, 1.0
+    sizes = {}
     for name in ELIGIBLE[dtype]:
+        if name in ("fsst", "wdict"):
+            continue
         try:
             payload = _codec_encode(name, dtype, sample)
         except Exception:
             continue
         _, wrapped = _maybe_compress(payload)
-        est = len(wrapped) * scale
-        if est < best_sz:
-            best, best_sz = name, est
-    return best
+        sizes[name] = len(wrapped) * scale
+    return min(sizes, key=sizes.get) if sizes else "plain"
 
 
 def encode_block(series: pd.Series, dtype: str, codec: str | None = None) -> bytes:

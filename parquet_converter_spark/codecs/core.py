@@ -212,6 +212,79 @@ class DictCodec:
 
 
 # ---------------------------------------------------------------------------
+# word-dictionary (strings)
+
+
+class WdictCodec:
+    """Word-level dictionary encoding for natural-language text.
+
+    Tokenize on single spaces (lossless: split(' ') → join(' ') is the
+    identity for ANY string, including empties and repeated spaces),
+    dictionary-encode the flattened word stream, bit-pack the ids.
+    Every step is a pyarrow C++ kernel or numpy — zero per-row Python.
+    Layout: [word dict (plain str)][per-string word counts][word ids].
+    """
+
+    name = "wdict"
+
+    def encode_strs(self, lengths: np.ndarray, data: bytes) -> bytes:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(lengths)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        arr = pa.Array.from_buffers(
+            pa.large_string(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+        )
+        splits = pc.split_pattern(arr, " ")
+        counts = np.diff(splits.offsets.to_numpy(zero_copy_only=False)).astype(np.uint64)
+        words = pc.list_flatten(splits)
+        enc = pc.dictionary_encode(words)
+        indices = enc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        dict_arr = enc.dictionary.cast(pa.large_string())
+        d_off = np.frombuffer(dict_arr.buffers()[1], dtype=np.int64, count=len(dict_arr) + 1)
+        d_buf = dict_arr.buffers()[2]
+        d_data = d_buf.to_pybytes()[d_off[0] : d_off[-1]] if d_buf is not None else b""
+        d_lengths = np.diff(d_off).astype(np.int64)
+        return pack_sections(
+            u32(len(d_lengths)),
+            PlainCodec().encode_strs(d_lengths, d_data),
+            _encode_uint_vec(counts),
+            _encode_uint_vec(indices),
+        )
+
+    def decode_strs(self, payload: bytes, n: int) -> tuple[np.ndarray, bytes]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        nd_sec, dict_sec, cnt_sec, idx_sec = unpack_sections(payload, 4)
+        n_dict = read_u32(nd_sec)
+        d_lengths, d_data = PlainCodec().decode_strs(dict_sec, n_dict)
+        counts = _decode_uint_vec(cnt_sec, n).astype(np.int64)
+        n_words = int(counts.sum())
+        indices = _decode_uint_vec(idx_sec, n_words).astype(np.int64)
+        d_off = np.zeros(n_dict + 1, dtype=np.int64)
+        np.cumsum(d_lengths, out=d_off[1:])
+        dict_arr = pa.Array.from_buffers(
+            pa.large_string(),
+            n_dict,
+            [None, pa.py_buffer(d_off.tobytes()), pa.py_buffer(d_data)],
+        )
+        words = pc.take(dict_arr, pa.array(indices, type=pa.int64()))
+        w_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=w_off[1:])
+        list_arr = pa.LargeListArray.from_arrays(
+            pa.array(w_off, type=pa.int64()), words
+        )
+        joined = pc.binary_join(list_arr, pa.scalar(" ", type=pa.large_string()))
+        j_off = np.frombuffer(joined.buffers()[1], dtype=np.int64, count=n + 1)
+        j_buf = joined.buffers()[2]
+        j_data = j_buf.to_pybytes()[j_off[0] : j_off[-1]] if j_buf is not None else b""
+        return np.diff(j_off).astype(np.int64), j_data
+
+
+# ---------------------------------------------------------------------------
 # run-length
 
 

@@ -27,25 +27,33 @@ def min_bits(values: np.ndarray) -> int:
 def bitpack(values: np.ndarray, width: int) -> bytes:
     """Pack a uint64 array into ``width``-bit big-endian-within-byte codes.
 
-    Fully vectorized: explode to a bit matrix with ``np.unpackbits``,
-    keep the low ``width`` bits per value, re-pack. width==0 → b"".
+    Fully vectorized: build the (n, width) bit matrix with shifts
+    (never the full 64-bit matrix), then ``np.packbits``. width==0 → b"".
     """
     if width == 0 or values.size == 0:
         return b""
-    v = np.ascontiguousarray(values, dtype=np.uint64).astype(">u8")
-    bits = np.unpackbits(v.view(np.uint8).reshape(-1, 8), axis=1)[:, 64 - width :]
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    bits = np.empty((v.size, width), dtype=np.uint8)
+    for j, sh in enumerate(range(width - 1, -1, -1)):
+        # column-at-a-time: avoids a (n, width) uint64 intermediate
+        np.bitwise_and((v >> np.uint64(sh)).astype(np.uint8), 1, out=bits[:, j])
     return np.packbits(bits.ravel()).tobytes()
 
 
 def bitunpack(data: bytes, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`bitpack` — returns a uint64 array of length n."""
+    """Inverse of :func:`bitpack` — returns a uint64 array of length n.
+
+    Multiply-accumulate over the width dimension (≤64 vectorized
+    passes) instead of materializing a 64-wide matrix.
+    """
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
     bits = bits.reshape(n, width)
-    full = np.zeros((n, 64), dtype=np.uint8)
-    full[:, 64 - width :] = bits
-    return np.packbits(full, axis=1).view(">u8").ravel().astype(np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(width):
+        out = (out << np.uint64(1)) | bits[:, j]
+    return out
 
 
 def zigzag_encode(values: np.ndarray) -> np.ndarray:

@@ -45,11 +45,14 @@ def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
                 "n_rows": len(part),
             }
             meta = {}
+            blk_bytes = 0
             for col in ENCODED_COLUMNS:
                 blob = encode_block(part[col], COLUMN_DTYPES[col], codec)
                 row[f"{col}_blk"] = bytearray(blob)
                 meta[col] = {"codec": block_codec(blob), "bytes": len(blob)}
+                blk_bytes += len(blob)
             row["meta"] = json.dumps(meta)
+            row["blk_bytes"] = blk_bytes
             out_rows.append(row)
         out = pd.DataFrame(out_rows)
         out["run_id"] = run_id
@@ -86,28 +89,34 @@ def encode_table(
 
     keyed = with_group_keys(df, num_buckets, salt_rows)
 
-    planned = keyed.select("bucket", "salt").distinct()
-    pending = ckpt.pending_groups(io, planned) if resume else planned
-    if max_groups is not None:
-        pending = pending.orderBy("bucket", "salt").limit(max_groups)
-    # broadcast the pending-group list: it is tiny relative to the data
-    # (one row per ~64k input rows) and turns the resume filter into a
-    # map-side semi join — no extra shuffle of the big table.
-    todo = keyed.join(F.broadcast(pending), ["bucket", "salt"], "left_semi")
+    # fresh-run fast path: nothing committed and no group cap → skip the
+    # full-table distinct + semi-join entirely (saves one complete
+    # aggregate job over the input on every first run)
+    already_done = resume and ckpt.read_manifest(io).limit(1).count() > 0
+    if not already_done and max_groups is None:
+        todo = keyed
+    else:
+        planned = keyed.select("bucket", "salt").distinct()
+        pending = ckpt.pending_groups(io, planned) if resume else planned
+        if max_groups is not None:
+            pending = pending.orderBy("bucket", "salt").limit(max_groups)
+        # broadcast the pending-group list: it is tiny relative to the
+        # data (one row per ~salt_rows input rows) and turns the resume
+        # filter into a map-side semi join — no extra shuffle of the
+        # big table.
+        todo = keyed.join(F.broadcast(pending), ["bucket", "salt"], "left_semi")
 
     blocks = todo.groupBy("bucket", "salt").applyInPandas(
         _encode_group_fn(run_id, codec, chunk_rows), schema=BLOCKS_STORED_SCHEMA
     )
     io.append(blocks, ckpt.BLOCKS, compression="uncompressed")
 
-    # ---- commit: derive manifest + metrics from what actually landed
+    # ---- commit: derive manifest + metrics from what actually landed.
+    # blk_bytes was computed inside the UDF, so these commit jobs only
+    # scan the small non-binary columns (parquet column pruning).
     written = io.read(ckpt.BLOCKS).where(F.col("run_id") == run_id)
-    size_expr = sum(
-        [F.coalesce(F.length(F.col(f"{c}_blk")), F.lit(0)) for c in ENCODED_COLUMNS],
-        F.lit(0),
-    )
     manifest = (
-        written.select("bucket", "salt", "n_rows", size_expr.alias("blk_bytes"))
+        written.select("bucket", "salt", "n_rows", "blk_bytes")
         .groupBy("bucket", "salt")
         .agg(
             F.count("*").cast("int").alias("n_chunks"),

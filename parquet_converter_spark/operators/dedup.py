@@ -48,16 +48,23 @@ def _shingles(text_col: str, k: int = 3):
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, min over shingles of
-    xxhash64(shingle, i). Pure column expressions — zero shuffle."""
-    sh = _shingles(text_col)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    """MinHash signature per document.
+
+    Explode shingles ONCE, hash each shingle with all seeds in the same
+    projection (16 xxhash64 calls per shingle row — one codegen stage),
+    then a single groupBy(doc) computing all 16 mins in one Aggregate
+    node. One shuffle total; scales as a plain wide aggregation."""
+    exploded = df.select(
+        F.col(id_col), F.explode(_shingles(text_col)).alias("sh")
+    ).select(
+        id_col, *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    agg = exploded.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(
@@ -121,25 +128,22 @@ def ngram_jaccard(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash: per-token xxhash64, majority vote per bit.
 
-    Vectorized as an array-of-bits aggregation in Catalyst: for each
-    bit position, sum(±1 by token bit) → sign. Stays JVM-side via
-    higher-order functions (aggregate over the token array)."""
-    tokens = F.split(F.trim(F.col(text_col)), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # per bit b: count of tokens with bit set minus half the tokens
-    bit_votes = F.array(
-        *[
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)),
-            )
-            for b in range(64)
-        ]
+    Explode tokens once, hash each, then ONE groupBy(doc) aggregate
+    computing all 64 bit-vote sums (a single wide Aggregate node with
+    map-side partial agg — one shuffle, scales like word-count)."""
+    tokens = F.filter(F.split(F.trim(F.col(text_col)), " "), lambda t: t != "")
+    exploded = df.select(F.col(id_col), F.explode(tokens).alias("tok")).select(
+        id_col, F.xxhash64("tok").alias("h")
     )
-    n_tokens = F.size(tokens)
-    bits = F.transform(bit_votes, lambda v: (v * 2 >= n_tokens).cast("long"))
+    votes = exploded.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))).alias(f"v{b}")
+            for b in range(64)
+        ],
+    )
     sh = F.lit(0).cast("long")
     for b in range(64):
-        sh = sh.bitwiseOR(F.shiftleft(F.element_at(bits, b + 1), b))
-    return df.select(F.col(id_col), sh.alias("simhash"))
+        bit = (F.col(f"v{b}") * 2 >= F.col("n_tok")).cast("long")
+        sh = sh.bitwiseOR(F.shiftleft(bit, b))
+    return votes.select(F.col(id_col), sh.alias("simhash"))

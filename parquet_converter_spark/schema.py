@@ -45,6 +45,7 @@ BLOCKS_SCHEMA = T.StructType(
             for c in ENCODED_COLUMNS
         ],
         T.StructField("meta", T.StringType(), True),
+        T.StructField("blk_bytes", T.LongType(), True),
     ]
 )
 
