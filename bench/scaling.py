@@ -74,27 +74,28 @@ def run_level(cores: int, src: str, out: str) -> dict:
 
 _CEIL_CODE = (
     "import numpy as np, time\n"
-    "t0=time.time()\n"
-    "a=np.random.default_rng(1).integers(0,255,20_000_000,dtype=np.uint64)\n"
-    "for _ in range(10):\n"
-    "    b=(a>>np.uint64(3))&np.uint64(7); c=np.packbits((b&np.uint64(1)).astype(np.uint8))\n"
-    "print(time.time()-t0)\n"
+    "a=np.random.default_rng(1).integers(0,255,4_000_000,dtype=np.uint64)\n"
+    "end=time.time()+10.0; n=0\n"
+    "while time.time()<end:\n"
+    "    b=(a>>np.uint64(3))&np.uint64(7); c=np.packbits((b&np.uint64(1)).astype(np.uint8)); n+=1\n"
+    "print(n)\n"
 )
 
 
 def hardware_ceiling(reps: int = 3) -> dict:
     """Control experiment: aggregate throughput of N independent numpy
     processes (the same byte-crunching profile as the codecs, zero
-    Spark). Best-of-reps per level; bounds what ANY engine could
-    achieve on this VM between 8 and 32 workers."""
+    Spark), each counting fixed-duration kernel iterations — bounds
+    what ANY engine could achieve on this VM between 8 and 32 workers.
+    Interleaved best-of-reps (the VM shows heavy noisy-neighbor
+    variance)."""
 
     def agg(n: int) -> float:
         ps = [
             subprocess.Popen([sys.executable, "-c", _CEIL_CODE], stdout=subprocess.PIPE)
             for _ in range(n)
         ]
-        outs = [float(p.communicate()[0]) for p in ps]
-        return n / (sum(outs) / len(outs))
+        return sum(int(p.communicate()[0]) for p in ps) / 10.0
 
     best = {8: 0.0, 32: 0.0}
     for _ in range(reps):
