@@ -28,19 +28,20 @@ def read_manifest(io) -> DataFrame:
     return io.spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
-def completed_groups(io) -> DataFrame:
-    return (
-        read_manifest(io)
-        .where(F.col("status") == "done")
-        .select("bucket", "salt")
-        .distinct()
-    )
+def completed_groups(io, run_id: str | None = None) -> DataFrame:
+    """Committed groups; with run_id, only THAT run's commits (used by
+    streaming epochs, where each epoch is a disjoint data increment and
+    must not be suppressed by earlier epochs' groups)."""
+    m = read_manifest(io).where(F.col("status") == "done")
+    if run_id is not None:
+        m = m.where(F.col("run_id") == run_id)
+    return m.select("bucket", "salt").distinct()
 
 
-def pending_groups(io, planned: DataFrame) -> DataFrame:
+def pending_groups(io, planned: DataFrame, run_id: str | None = None) -> DataFrame:
     """planned(bucket, salt) minus committed — broadcast the done side
     when small; Catalyst/AQE picks the strategy at scale."""
-    done = completed_groups(io)
+    done = completed_groups(io, run_id)
     return planned.join(done, ["bucket", "salt"], "left_anti")
 
 
@@ -49,12 +50,17 @@ def committed_blocks(io) -> DataFrame:
     from .schema import BLOCKS_STORED_SCHEMA  # local import to avoid cycle
 
     blocks = io.read(BLOCKS, BLOCKS_STORED_SCHEMA)
-    # exactly one committed run per group (max run_id wins) so a rerun
-    # that re-encoded a group can never be double-read
+    # every committed (bucket, salt, run_id) triple is visible: distinct
+    # runs over the same group key are DISJOINT data increments
+    # (streaming epochs). Batch-mode double-encoding of a group is
+    # prevented upstream by the resume anti-join under the
+    # single-writer assumption (Iceberg OCC would enforce it with
+    # concurrent writers); orphaned blocks from an uncommitted run
+    # remain invisible because their run_id has no manifest row.
     done = (
         read_manifest(io)
         .where(F.col("status") == "done")
-        .groupBy("bucket", "salt")
-        .agg(F.max("run_id").alias("run_id"))
+        .select("bucket", "salt", "run_id")
+        .distinct()
     )
     return blocks.join(done, ["bucket", "salt", "run_id"], "left_semi")

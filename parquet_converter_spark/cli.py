@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     rp = sub.add_parser("report", help="manifest/metrics summary (reference: conversion_report.json)")
     rp.add_argument("--out", required=True)
 
+    ap = sub.add_parser("analyze", help="profile parquet tables in a dir (reference --mode analyze)")
+    ap.add_argument("--input", required=True, help="dir containing *.parquet tables")
+    ap.add_argument("--report", default=None, help="write text report here (default stdout)")
+    ap.add_argument("--json", dest="json_out", default=None, help="also write JSON report")
+
     args = p.parse_args(argv)
     spark = get_spark(app=f"pcs-{args.cmd}", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,6 +149,28 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "analyze":
+        import os
+
+        from .operators.analyzer import analyze_table, format_report, save_json_report
+        from .sources.readers import discover_tables
+
+        paths = discover_tables(spark, args.input)
+        analyses = {}
+        for p in paths:
+            name = os.path.basename(p)
+            analyses[name] = analyze_table(spark.read.parquet(p))
+        text = format_report(analyses)
+        if args.report:
+            with open(args.report, "w") as f:
+                f.write(text)
+            print(json.dumps({"written": args.report, "tables": len(analyses)}))
+        else:
+            print(text)
+        if args.json_out:
+            save_json_report(analyses, args.json_out)
         return 0
 
     return 2

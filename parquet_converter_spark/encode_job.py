@@ -72,13 +72,18 @@ def encode_table(
     num_buckets: int | None = None,
     resume: bool = True,
     max_groups: int | None = None,
+    resume_scope: str = "global",
 ) -> dict:
     """Encode a transcript DataFrame into the blocks table at ``io``.
 
     Returns a summary dict (groups encoded, rows, encoded bytes).
     ``max_groups`` bounds how many pending groups this invocation
     commits — used by the kill/resume test and usable as incremental
-    batch commit on a real cluster.
+    batch commit on a real cluster. ``resume_scope='run'`` restricts
+    the resume anti-join to THIS run_id's prior commits (streaming
+    epochs: each epoch is a new data increment whose groups must not be
+    suppressed by earlier epochs, but an epoch REPLAY must still skip
+    its own committed groups).
     """
     run_id = run_id or f"run_{int(time.time() * 1000):x}"
     if num_buckets is None:
@@ -89,15 +94,16 @@ def encode_table(
 
     keyed = with_group_keys(df, num_buckets, salt_rows)
 
-    # fresh-run fast path: nothing committed and no group cap → skip the
-    # full-table distinct + semi-join entirely (saves one complete
-    # aggregate job over the input on every first run)
-    already_done = resume and ckpt.read_manifest(io).limit(1).count() > 0
-    if not already_done and max_groups is None:
+    # fresh-run fast path: nothing committed (in scope) and no group cap
+    # → skip the full-table distinct + semi-join entirely (saves one
+    # complete aggregate job over the input on every first run)
+    scope_run = run_id if resume_scope == "run" else None
+    already = resume and ckpt.completed_groups(io, scope_run).limit(1).count() > 0
+    if not already and max_groups is None:
         todo = keyed
     else:
         planned = keyed.select("bucket", "salt").distinct()
-        pending = ckpt.pending_groups(io, planned) if resume else planned
+        pending = ckpt.pending_groups(io, planned, scope_run) if resume else planned
         if max_groups is not None:
             pending = pending.orderBy("bucket", "salt").limit(max_groups)
         # broadcast the pending-group list: it is tiny relative to the

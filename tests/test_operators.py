@@ -1,0 +1,109 @@
+"""Known-answer tests for profiling/dedup/similarity/textstats operators
+(reference test model: tests/test_analyzer.py:38-41 known answers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_converter_spark.operators import analyzer, dedup, profile, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat sat on the mat", "en"),          # exact dup of 1
+        (3, "the cat sat on the red mat", "en"),      # near dup
+        (4, "der hund ist und das haus", "de"),
+        (5, "completely different text entirely here", "en"),
+        (6, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_profile_known_answers(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "b")], "value int, label string"
+    )
+    # reference tests/test_analyzer.py:40: null_count(value)=1, n_unique(label)=2
+    assert profile.null_count(df, "value").collect()[0]["nulls"] == 1
+    assert profile.distinct_count(df, "label").collect()[0]["uniq"] == 2
+    assert profile.row_count(df).collect()[0]["cnt"] == 3
+    prof = profile.numeric_profile(df, "value").collect()[0]
+    assert prof["mn"] == 1.0 and prof["mx"] == 2.0 and prof["mean"] == 1.5
+
+
+def test_value_counts_top5(spark):
+    df = spark.createDataFrame([(x,) for x in "aaabbc"], "v0 string")
+    rows = profile.value_counts_top5(df, "v0").collect()
+    assert [(r["v"], r["c"]) for r in rows] == [("a", 3), ("b", 2), ("c", 1)]
+
+
+def test_exact_dup_groups(docs):
+    rows = dedup.exact_dup_groups(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["keep_id"] == 1 and rows[0]["dup_count"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    verified = dedup.ngram_jaccard(docs, pairs)
+    hits = {(r["a_id"], r["b_id"]): r["jaccard"] for r in verified.collect()}
+    assert hits.get((1, 2)) == 1.0  # exact dup must bucket together
+    # near-dup pair should be a candidate with high (but <1) jaccard
+    if (1, 3) in hits:
+        assert 0.3 < hits[(1, 3)] < 1.0
+
+
+def test_simhash_similarity(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical docs → identical simhash
+    # near dup within small hamming distance; different doc far away
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[5])
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos_sim"] == 1.0
+
+
+def test_ann_topk_contains_query(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    top = similarity.ann_topk(df, [float(x) for x in q], dim=8, k=3, n_planes=4)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert 5 in ids  # the query vector itself shares its own bucket
+
+
+def test_textstats_known_answers(docs):
+    tok = {r["doc_id"]: r["n_tokens"] for r in textstats.token_count(docs).collect()}
+    assert tok[1] == 6 and tok[6] == 0
+    langs = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert langs[1] == "en" and langs[4] == "de" and langs[6] == "und"
+    fps = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(docs).collect()}
+    assert fps[1] == fps[2] and fps[1] != fps[3]
+
+
+def test_analyzer_fused_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (None, "b", None)],
+        "value int, label string, x double",
+    )
+    a = analyzer.analyze_table(df)
+    assert a["row_count"] == 3
+    assert a["columns"]["value"]["null_count"] == 1
+    assert a["columns"]["label"]["unique_values"] == 2
+    assert a["columns"]["x"]["mean"] == 2.0
+    top = a["columns"]["label"]["top_values"]
+    assert top[0]["value"] == "b" and top[0]["count"] == 2
+    text = analyzer.format_report({"t": a})
+    assert "rows=3" in text and "label" in text

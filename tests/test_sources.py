@@ -1,0 +1,107 @@
+"""Source readers (SURVEY.md §2.1): CSV/TXT scans with the reference's
+option surface. Fixtures mirror the reference's examples
+(FIXTURES.md F2/F3/F4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_converter_spark.functions import casts
+from parquet_converter_spark.sources import readers
+from pyspark.sql import functions as F
+
+CSV_F2 = """id,name,age,salary,joined_date,is_active,department
+1,John Smith,35,75000.50,2020-01-15,true,Engineering
+2,Jane Doe,28,65000.00,2021-03-10,false,Marketing
+3,Bob Lee,NA,55000.25,2019-07-01,true,Finance
+4,Ann Ray,41,NULL,2018-11-20,false,HR
+5,Sam Wu,33,72000.10,2022-05-30,true,Engineering
+"""
+
+TXT_F3 = (
+    "product_id\tproduct_name\tprice\tstock\n"
+    "P001\tWidget\t9.99\t42\n"
+    "P002\tGadget\t19.99\t7\n"
+    "P003\tDoohickey\tNA\t0\n"
+)
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("src") / "employees.csv"
+    p.write_text(CSV_F2)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def txt_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("src") / "products.txt"
+    p.write_text(TXT_F3)
+    return str(p)
+
+
+def test_csv_roundtrip_shape(spark, csv_path, tmp_path):
+    """The reference's core invariant (tests/test_converter.py:79-81):
+    convert → parquet → read back, shape and names match."""
+    df = readers.read_csv(spark, csv_path)
+    out = str(tmp_path / "employees.parquet")
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert back.columns == ["id", "name", "age", "salary", "joined_date", "is_active", "department"]
+
+
+def test_csv_inference_and_na_tokens(spark, csv_path):
+    df = readers.read_csv(spark, csv_path)
+    dt = dict(df.dtypes)
+    assert dt["id"] in ("int", "bigint")
+    assert dt["salary"] == "double"
+    # NA → null (reference na_values, config.py:55)
+    assert df.where(F.col("age").isNull()).count() == 1
+    assert df.where(F.col("salary").isNull()).count() == 1
+
+
+def test_csv_schema_override_skips_inference(spark, csv_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.StringType()),
+            T.StructField("salary", T.StringType()),
+            T.StructField("joined_date", T.StringType()),
+            T.StructField("is_active", T.StringType()),
+            T.StructField("department", T.StringType()),
+        ]
+    )
+    df = readers.read_csv(spark, csv_path, schema=schema)
+    assert dict(df.dtypes)["id"] == "string"  # P3 dtypes override honored
+
+
+def test_txt_tab_delimited_string_ids_stay_strings(spark, txt_path):
+    """FIXTURES.md F3: 'P001' must NOT become an int."""
+    df = readers.read_txt(spark, txt_path)
+    dt = dict(df.dtypes)
+    assert dt["product_id"] == "string"
+    assert dt["price"] == "double"
+    assert df.count() == 3
+    assert df.where(F.col("price").isNull()).count() == 1
+
+
+def test_cast_battery_on_strings(spark, txt_path):
+    df = readers.read_txt(spark, txt_path)
+    as_long, as_double = casts.parse_int_or_double(F.col("stock").cast("string"))
+    out = df.select(as_long.alias("s_long")).collect()
+    assert sorted(r["s_long"] for r in out) == [0, 7, 42]
+
+
+def test_discover_tables(spark, tmp_path):
+    (tmp_path / "a").mkdir()
+    import shutil
+
+    src = "/root/testdata/sf0.001/region.parquet"
+    shutil.copy(src, tmp_path / "a" / "region.parquet")
+    shutil.copy(src, tmp_path / "r2.parquet")
+    found = readers.discover_tables(spark, str(tmp_path))
+    assert len(found) == 2
