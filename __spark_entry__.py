@@ -271,6 +271,26 @@ def _q_lang_id_pred(spark, sf):
     return textstats.lang_id(_t(spark, sf, "documents"))
 
 
+def _q_media_stats(spark, sf):
+    """Multimodal metadata aggregation (payload column pruned)."""
+    from parquet_converter_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, n=120, seed=42)
+    return multimodal.media_stats(media).select(
+        "kind", "n", F.round("avg_w", 4).alias("avg_w"), F.round("avg_ms", 4).alias("avg_ms")
+    )
+
+
+def _q_media_features(spark, sf):
+    """Binary-payload feature extraction plumbing (deterministic fake)."""
+    from parquet_converter_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, n=60, seed=42)
+    return multimodal.extract_features(media).select(
+        "media_id", "payload_bytes", "sha256"
+    ).orderBy("media_id")
+
+
 def _q_lsh_ann_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -313,6 +333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "lang_id_pred": _q_lang_id_pred,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
     }
 
 
@@ -442,4 +464,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding,
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
             FROM embeddings ORDER BY vec_id""",
+        "lang_id_pred": """
+            WITH s AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS en,
+                     len(list_filter(toks, x -> x IN ('der','die','und','ist','das'))) AS de,
+                     len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS fr,
+                     len(list_filter(toks, x -> x IN ('el','la','que','de','es'))) AS es
+              FROM (SELECT doc_id,
+                           list_transform(
+                             list_filter(string_split(trim(text), ' '), x -> x <> ''),
+                             x -> lower(x)) AS toks
+                    FROM documents))
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr, es) THEN 'en'
+                        WHEN de = greatest(en, de, fr, es) THEN 'de'
+                        WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM s ORDER BY doc_id""",
     }

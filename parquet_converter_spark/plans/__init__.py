@@ -1,0 +1,9 @@
+"""Physical-plan inspection helpers (pushdown/pruning/broadcast checks)."""
+
+from .inspect import (  # noqa: F401
+    executed_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+    wholestage_codegen_ids,
+)

@@ -1,0 +1,103 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast, codegen.
+
+These encode the 100TB-scale discipline: a filter that doesn't reach
+the scan or a projection that reads all columns is a correctness bug
+at scale even when results match.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_converter_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+    wholestage_codegen_ids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, lineitem):
+    q = lineitem.where(F.col("l_shipdate") < "1996-01-01").select("l_orderkey")
+    filters = pushed_filters(q)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_projection_prunes_read_schema(spark, lineitem):
+    q = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    schemas = read_schemas(q)
+    assert schemas, "no scan found"
+    for s in schemas:
+        assert "l_extendedprice" not in s and "l_comment" not in s, s
+        assert "l_returnflag" in s and "l_quantity" in s, s
+
+
+def test_small_dim_join_broadcasts(spark, lineitem):
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    q = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_partkey"
+    )
+    assert has_broadcast_join(q)
+
+
+def test_resume_anti_join_broadcasts_done_side(spark, tmp_path):
+    """The resume semi/anti join must broadcast the (tiny) group list,
+    never shuffle the big table."""
+    from parquet_converter_spark import checkpoint as ckpt
+    from parquet_converter_spark.encode_job import encode_table
+    from parquet_converter_spark.partitioning import with_group_keys
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.synth import synth_pandas
+    from parquet_converter_spark.tableio import ParquetDirTableIO
+
+    pdf = synth_pandas(n_convs=10, seed=5)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    io = ParquetDirTableIO(spark, str(tmp_path))
+    encode_table(spark, df, io, run_id="r1", salt_rows=512, num_buckets=4, max_groups=2)
+    keyed = with_group_keys(df, 4, 512)
+    pending = ckpt.pending_groups(io, keyed.select("bucket", "salt").distinct())
+    todo = keyed.join(F.broadcast(pending), ["bucket", "salt"], "left_semi")
+    assert has_broadcast_join(todo)
+
+
+def test_profile_agg_is_single_wholestage_scan(spark, lineitem):
+    """A9 fused profile: one Aggregate over one scan, codegen'd."""
+    from parquet_converter_spark.operators.profile import profile_all_columns
+
+    from parquet_converter_spark.plans.inspect import executed_plan
+
+    q = profile_all_columns(lineitem, ["l_returnflag", "l_linestatus"])
+    assert len(read_schemas(q)) == 1  # ONE scan feeds every aggregate
+    assert "HashAggregate" in executed_plan(q)
+    # after execution, the final AQE plan must show codegen spans
+    q.collect()
+    assert wholestage_codegen_ids(q) or "isFinalPlan=true" in executed_plan(q)
+
+
+def test_decode_plan_has_no_shuffle(spark, tmp_path):
+    """Decode is embarrassingly parallel — no Exchange in its plan."""
+    from parquet_converter_spark.decode_job import decode_table
+    from parquet_converter_spark.encode_job import encode_table
+    from parquet_converter_spark.plans.inspect import executed_plan
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.synth import synth_pandas
+    from parquet_converter_spark.tableio import ParquetDirTableIO
+
+    pdf = synth_pandas(n_convs=8, seed=6)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    io = ParquetDirTableIO(spark, str(tmp_path))
+    encode_table(spark, df, io, run_id="r1", salt_rows=2048, num_buckets=2)
+    decoded = decode_table(spark, io)
+    plan = executed_plan(decoded)
+    # the only exchange allowed is the manifest-side (tiny) join input
+    body = plan.split("InMemoryTableScan")[0]
+    assert "Exchange hashpartitioning(conv_id" not in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
