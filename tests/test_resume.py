@@ -59,6 +59,77 @@ def test_rerun_after_completion_is_a_noop(spark, transcripts, tmp_path_factory):
     assert s2["rows"] == 0
 
 
+def test_sigkill_mid_job_then_resume(spark, transcripts, tmp_path_factory):
+    """Hard-kill a running encode process (SIGKILL, no cleanup) after it
+    has committed some groups, then resume in a fresh session: only the
+    uncommitted remainder re-executes and the decode is bit-identical.
+    This is the north_rule resumability criterion end-to-end."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out = str(tmp_path_factory.mktemp("sigkill"))
+    child_src = f"""
+import sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from parquet_converter_spark.session import get_spark
+from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+from parquet_converter_spark.synth import synth_pandas
+from parquet_converter_spark.encode_job import encode_table
+from parquet_converter_spark.tableio import ParquetDirTableIO
+spark = get_spark(master="local[2]")
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.createDataFrame(synth_pandas(n_convs=30, seed=7), schema=TRANSCRIPT_SCHEMA)
+io = ParquetDirTableIO(spark, {out!r})
+for i in range(1000):
+    s = encode_table(spark, df, io, run_id=f"batch{{i}}", salt_rows=512,
+                     num_buckets=6, max_groups=1)
+    if s["groups"] == 0:
+        break
+    print(f"COMMITTED {{i}}", flush=True)
+    time.sleep(0.2)
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    committed = 0
+    deadline = time.time() + 240
+    while committed < 2 and time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            break
+        if line.startswith("COMMITTED"):
+            committed += 1
+    assert committed >= 2, "child never committed two batches"
+    os.kill(proc.pid, signal.SIGKILL)  # no atexit, no JVM shutdown hooks
+    proc.wait(timeout=30)
+
+    io = ParquetDirTableIO(spark, out)
+    done_before = ckpt.completed_groups(io).count()
+    assert done_before >= 2
+
+    # resume with the outer (still-healthy) session
+    s = encode_table(spark, transcripts_like(spark), io, run_id="resume", salt_rows=512, num_buckets=6)
+    manifest = ckpt.read_manifest(io)
+    # no group committed twice
+    assert manifest.count() == manifest.select("bucket", "salt").distinct().count()
+    decoded = decode_table(spark, io)
+    result = verify_decode(decoded, transcripts_like(spark))
+    assert result["ok"], result
+
+
+def transcripts_like(spark):
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.synth import synth_pandas
+
+    return spark.createDataFrame(synth_pandas(n_convs=30, seed=7), schema=TRANSCRIPT_SCHEMA)
+
+
 def test_orphaned_uncommitted_blocks_are_invisible(spark, transcripts, tmp_path_factory):
     """Blocks written by a run that never committed its manifest must
     not be double-read: visibility = manifest semi-join."""
