@@ -33,28 +33,46 @@ def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
 
     def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket, salt = int(key[0]), int(key[1])
-        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        out_rows = []
-        n = len(pdf)
-        for chunk_idx, start in enumerate(range(0, n, chunk_rows)):
-            part = pdf.iloc[start : start + chunk_rows]
-            row: dict = {
+        try:
+            pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            out_rows = []
+            n = len(pdf)
+            for chunk_idx, start in enumerate(range(0, n, chunk_rows)):
+                part = pdf.iloc[start : start + chunk_rows]
+                row: dict = {
+                    "bucket": bucket,
+                    "salt": salt,
+                    "chunk": chunk_idx,
+                    "n_rows": len(part),
+                }
+                meta = {}
+                blk_bytes = 0
+                for col in ENCODED_COLUMNS:
+                    blob = encode_block(part[col], COLUMN_DTYPES[col], codec)
+                    row[f"{col}_blk"] = bytearray(blob)
+                    meta[col] = {"codec": block_codec(blob), "bytes": len(blob)}
+                    blk_bytes += len(blob)
+                row["meta"] = json.dumps(meta)
+                row["blk_bytes"] = blk_bytes
+                out_rows.append(row)
+            out = pd.DataFrame(out_rows)
+        except Exception as exc:  # noqa: BLE001 — per-group error isolation
+            # the reference captures per-file errors into stats and keeps
+            # going (converter.py:226-233); the distributed analog is an
+            # error marker row: chunk=-1, no blocks, error in meta. The
+            # commit step turns it into a status='error' manifest row, so
+            # the group is retried on resume and never read by decode.
+            err_row = {
                 "bucket": bucket,
                 "salt": salt,
-                "chunk": chunk_idx,
-                "n_rows": len(part),
+                "chunk": -1,
+                "n_rows": 0,
+                "meta": json.dumps({"error": repr(exc)[:2000]}),
+                "blk_bytes": 0,
             }
-            meta = {}
-            blk_bytes = 0
             for col in ENCODED_COLUMNS:
-                blob = encode_block(part[col], COLUMN_DTYPES[col], codec)
-                row[f"{col}_blk"] = bytearray(blob)
-                meta[col] = {"codec": block_codec(blob), "bytes": len(blob)}
-                blk_bytes += len(blob)
-            row["meta"] = json.dumps(meta)
-            row["blk_bytes"] = blk_bytes
-            out_rows.append(row)
-        out = pd.DataFrame(out_rows)
+                err_row[f"{col}_blk"] = None
+            out = pd.DataFrame([err_row])
         out["run_id"] = run_id
         return out
 
@@ -122,12 +140,13 @@ def encode_table(
     # scan the small non-binary columns (parquet column pruning).
     written = io.read(ckpt.BLOCKS).where(F.col("run_id") == run_id)
     manifest = (
-        written.select("bucket", "salt", "n_rows", "blk_bytes")
+        written.select("bucket", "salt", "chunk", "n_rows", "blk_bytes")
         .groupBy("bucket", "salt")
         .agg(
             F.count("*").cast("int").alias("n_chunks"),
             F.sum("n_rows").alias("n_rows"),
             F.sum("blk_bytes").alias("encoded_bytes"),
+            F.max((F.col("chunk") == -1).cast("int")).alias("has_err"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -136,7 +155,11 @@ def encode_table(
             "n_chunks",
             "n_rows",
             "encoded_bytes",
-            F.lit("done").alias("status"),
+            # error groups stay pending (retried on resume) and are
+            # never visible to decode — reference O2 error isolation
+            F.when(F.col("has_err") == 1, F.lit("error"))
+            .otherwise(F.lit("done"))
+            .alias("status"),
         )
     )
     io.append(manifest, ckpt.MANIFEST, compression="snappy")
@@ -144,9 +167,8 @@ def encode_table(
     # per-(group, column) codec metrics from the meta JSON
     meta_schema = "map<string, struct<codec:string, bytes:bigint>>"
     metrics = (
-        written.select(
-            "bucket", "salt", F.from_json("meta", meta_schema).alias("m")
-        )
+        written.where(F.col("chunk") >= 0)
+        .select("bucket", "salt", F.from_json("meta", meta_schema).alias("m"))
         .select("bucket", "salt", F.explode("m").alias("column", "cm"))
         .groupBy("bucket", "salt", "column")
         .agg(
@@ -168,15 +190,19 @@ def encode_table(
         io.read(ckpt.MANIFEST)
         .where(F.col("run_id") == run_id)
         .agg(
-            F.count("*").alias("groups"),
-            F.sum("n_rows").alias("rows"),
-            F.sum("encoded_bytes").alias("encoded_bytes"),
+            F.count(F.when(F.col("status") == "done", 1)).alias("groups"),
+            F.count(F.when(F.col("status") == "error", 1)).alias("errors"),
+            F.sum(F.when(F.col("status") == "done", F.col("n_rows"))).alias("rows"),
+            F.sum(
+                F.when(F.col("status") == "done", F.col("encoded_bytes"))
+            ).alias("encoded_bytes"),
         )
         .collect()[0]
     )
     return {
         "run_id": run_id,
         "groups": summary["groups"] or 0,
+        "errors": summary["errors"] or 0,
         "rows": summary["rows"] or 0,
         "encoded_bytes": summary["encoded_bytes"] or 0,
         "num_buckets": num_buckets,
