@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_converter_spark.functions import casts
-from parquet_converter_spark.operators import dedup, profile, similarity, textstats
+from parquet_converter_spark.operators import dedup, profile, similarity, textstats, windows
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -271,6 +271,45 @@ def _q_lang_id_pred(spark, sf):
     return textstats.lang_id(_t(spark, sf, "documents"))
 
 
+def _q_event_run_counts(spark, sf):
+    """§2.8 window op: lag-based run detection (the RLE prerequisite)."""
+    ev = _t(spark, sf, "events")
+    return windows.run_counts(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+def _q_topk_events_per_user(spark, sf):
+    """Top-2 events per user by value (row_number window)."""
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 50)
+    return windows.topk_per_group(ev, "user_id", "value", 2, "event_id").select(
+        "user_id", "event_id", F.round("value", 6).alias("value")
+    )
+
+
+def _q_top_tokens(spark, sf):
+    """Corpus word-count: explode tokens → count → top 20."""
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    return (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+def _q_embedding_closest_pairs(spark, sf):
+    """Exact embedding-cosine near-dup pairs (top-15)."""
+    return similarity.closest_pairs(_t(spark, sf, "embeddings"), k=15)
+
+
+def _q_lsh_near_dup_pairs(spark, sf):
+    """LSH-bucketed near-dup pairs (the scale path; rows-only)."""
+    return similarity.lsh_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35, dim=64, n_planes=6
+    )
+
+
 def _q_media_stats(spark, sf):
     """Multimodal metadata aggregation (payload column pruned)."""
     from parquet_converter_spark.operators import multimodal
@@ -326,6 +365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _q_lang_distribution,
         "ann_topk_cosine": _q_ann_topk_cosine,
         "embedding_norms": _q_embedding_norms,
+        "event_run_counts": _q_event_run_counts,
+        "topk_events_per_user": _q_topk_events_per_user,
+        "top_tokens": _q_top_tokens,
+        "embedding_closest_pairs": _q_embedding_closest_pairs,
+        "lsh_near_dup_pairs": _q_lsh_near_dup_pairs,
         # rows-only: engine codecs + seeded-hash ops
         "codec_roundtrip_metrics": _q_codec_roundtrip_metrics,
         "minhash_dup_candidates": _q_minhash_dup_candidates,
@@ -464,6 +508,43 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding,
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
             FROM embeddings ORDER BY vec_id""",
+        "event_run_counts": """
+            WITH t AS (
+              SELECT event_type,
+                     CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events)
+            SELECT event_type AS v, CAST(SUM(brk) AS BIGINT) AS n_runs,
+                   COUNT(*) AS n_rows
+            FROM t GROUP BY 1 ORDER BY v""",
+        "topk_events_per_user": """
+            SELECT user_id, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_id, value,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY value DESC, event_id ASC) AS rn
+                  FROM events WHERE user_id < 50)
+            WHERE rn <= 2""",
+        "top_tokens": """
+            SELECT tok, COUNT(*) AS c
+            FROM (SELECT unnest(list_filter(string_split(trim(text), ' '),
+                                x -> x <> '')) AS tok
+                  FROM documents)
+            GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 20""",
+        "embedding_closest_pairs": """
+            WITH v AS (SELECT vec_id, embedding FROM embeddings),
+            p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                         a.embedding AS va, b.embedding AS vb
+                  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+            z AS (SELECT a_id, b_id,
+                         CAST(unnest(va) AS DOUBLE) AS x,
+                         CAST(unnest(vb) AS DOUBLE) AS y
+                  FROM p),
+            s AS (SELECT a_id, b_id, SUM(x*y) AS dot,
+                         sqrt(SUM(x*x)) AS na, sqrt(SUM(y*y)) AS nb
+                  FROM z GROUP BY a_id, b_id)
+            SELECT a_id, b_id, round(dot/(na*nb), 6) AS cos_sim
+            FROM s ORDER BY cos_sim DESC, a_id ASC, b_id ASC LIMIT 15""",
         "lang_id_pred": """
             WITH s AS (
               SELECT doc_id,

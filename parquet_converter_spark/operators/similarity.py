@@ -59,6 +59,57 @@ def embedding_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
     ).orderBy(id_col)
 
 
+def closest_pairs(
+    df: DataFrame,
+    k: int = 15,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k most-similar pairs (embedding-cosine near-dup, the
+    correctness baseline): self-join a<b, double-precision cosine,
+    global top-k. O(n²) — correct at oracle scale; the LSH-bucketed
+    variant (hyperplane_signatures + within-bucket scoring) is the
+    10^12-row path that reduces candidates before this exact scorer."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("a_id"), F.asc("b_id"))
+        .limit(k)
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: hyperplane-LSH bucket join
+    (ONE shuffle on the bucket) → exact cosine only within buckets →
+    threshold filter. Approximate recall, exact precision."""
+    sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
+    with_sig = df.join(sigs, id_col)
+    a = with_sig.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"), "lsh_bucket"
+    )
+    b = with_sig.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"), "lsh_bucket"
+    )
+    pairs = a.join(b, "lsh_bucket").where(F.col("a_id") < F.col("b_id"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("a_id", "b_id")
+    )
+
+
 def hyperplane_signatures(
     df: DataFrame,
     dim: int,
