@@ -29,9 +29,15 @@ def _decode_batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield pd.DataFrame(cols)
 
 
-def decode_table(spark: SparkSession, io) -> DataFrame:
-    """Read committed blocks and reconstruct the transcript DataFrame."""
-    blocks = ckpt.committed_blocks(io).select(
-        *[f"{c}_blk" for c in ENCODED_COLUMNS]
-    )
+def decode_table(spark: SparkSession, io, buckets: list[int] | None = None) -> DataFrame:
+    """Read committed blocks and reconstruct the transcript DataFrame.
+
+    ``buckets`` selects a subset of hash buckets — the predicate lands
+    on the blocks parquet scan (partition-level pushdown), so a
+    selective decode of one bucket reads ~1/num_buckets of the data.
+    """
+    blocks = ckpt.committed_blocks(io)
+    if buckets is not None:
+        blocks = blocks.where(blocks.bucket.isin([int(b) for b in buckets]))
+    blocks = blocks.select(*[f"{c}_blk" for c in ENCODED_COLUMNS])
     return blocks.mapInPandas(_decode_batches, schema=TRANSCRIPT_SCHEMA)

@@ -37,6 +37,7 @@ def read_csv(
     schema=None,
     na_values: list[str] | None = None,
     skip_rows: int = 0,
+    skip_footer: int = 0,
     encoding: str = "utf-8",
     ignore_errors: bool = False,
     sample_rows: int = 100_000,
@@ -54,10 +55,14 @@ def read_csv(
         .option("encoding", encoding)
         .option("nullValue", na[1] if len(na) > 1 else "NA")
     )
-    if skip_rows:
-        # Spark CSV has no skipRows; emulate via text pre-pass
+    if skip_rows or skip_footer:
+        # Spark CSV has no skipRows/skipFooter; emulate via text
+        # pre-pass (P3 — header/footer trims are per-FILE semantics,
+        # so this path is single-file by construction, like the
+        # reference's skiprows/skipfooter, parser.py:97-98)
         return _read_delimited_with_skip(
-            spark, path, delimiter, header, column_names, schema, na, skip_rows, encoding
+            spark, path, delimiter, header, column_names, schema, na,
+            skip_rows, encoding, skip_footer,
         )
     if ignore_errors:
         reader = reader.option("mode", "DROPMALFORMED")
@@ -137,45 +142,55 @@ def read_txt_regex(
 
 
 def _read_delimited_with_skip(
-    spark, path, delimiter, header, column_names, schema, na, skip_rows, encoding
+    spark, path, delimiter, header, column_names, schema, na,
+    skip_rows, encoding, skip_footer: int = 0,
 ) -> DataFrame:
-    """P3 row-skipping: monotonically-indexed text pre-pass, then parse.
+    """P3 head/tail row trimming: indexed text pre-pass, then the same
+    two-phase typed parse as read_csv.
 
-    At scale this is a narrow transformation (zipWithIndex-equivalent
-    via a window would shuffle; the reference semantics only ever skip
-    a few header lines, so a per-file prefix filter is correct)."""
+    Head/footer trims are per-FILE semantics (reference
+    parser.py:97-98), so this path is single-file by construction; the
+    row_number window over the line index is the documented SURVEY.md
+    §2.2 P3 mapping ("limit + anti-range")."""
+    import re as _re
+
     from pyspark.sql.window import Window
 
-    lines = spark.read.text(path).withColumn(
-        "_idx", F.monotonically_increasing_id()
-    )
-    # monotonic ids are per-partition; for head-trim semantics order by id
     w = Window.orderBy("_idx")
-    lines = lines.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") > skip_rows
+    idxed = (
+        spark.read.text(path)
+        .withColumn("_idx", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
     )
-    body = lines.select("value")
-    parts = F.split(F.col("value"), F.lit(delimiter))
-    first_row = body.limit(1).collect()
+    total = idxed.count()
+    lo = skip_rows + (1 if header else 0)
+    hi = total - skip_footer
     names = column_names
-    if header and first_row:
-        hdr = first_row[0][0].split(delimiter)
-        names = names or [h.strip() for h in hdr]
-        body = body.withColumn("_rn", F.row_number().over(Window.orderBy(F.lit(1)))).where(
-            F.col("_rn") > 1
-        )
-    names = names or []
+    if header and names is None:
+        hdr = idxed.where(F.col("_rn") == skip_rows + 1).collect()
+        names = [h.strip() for h in hdr[0]["value"].split(delimiter)] if hdr else []
+    parts = F.split(F.col("value"), _re.escape(delimiter))
+    body = idxed.where((F.col("_rn") > lo) & (F.col("_rn") <= hi))
     out = body.select(
-        *[F.trim(parts.getItem(i)).alias(n) for i, n in enumerate(names)]
+        *[parts.getItem(i).alias(n) for i, n in enumerate(names or [])]
     )
-    for t in na:
+    tokens = [t for t in na if t != ""]
+    out = out.select(
+        *[
+            F.when((F.col(c) == "") | F.col(c).isin(tokens), None)
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in out.columns
+        ]
+    )
+    if schema is not None:
         out = out.select(
-            *[
-                F.when(F.col(c) == t, None).otherwise(F.col(c)).alias(c)
-                for c in out.columns
-            ]
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
-    return out
+        return out
+    from ..functions.casts import infer_and_cast
+
+    return infer_and_cast(out)
 
 
 def sampled_schema(

@@ -89,6 +89,34 @@ def test_decode_preserves_nulls_and_edge_text(spark, transcripts, tmp_path_facto
         assert rn == dn, c
 
 
+def test_multi_chunk_groups_decode_exactly(spark, transcripts, tmp_path_factory):
+    """chunk_rows < group size → several block rows per group; chunk
+    boundaries must be invisible to decode."""
+    out = str(tmp_path_factory.mktemp("chunks"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(
+        spark, transcripts, io, run_id="r1",
+        salt_rows=4096, num_buckets=4, chunk_rows=256,
+    )
+    blocks = io.read("blocks")
+    multi = blocks.groupBy("bucket", "salt").count().where(F.col("count") > 1).count()
+    assert multi > 0, "test did not exercise multi-chunk groups"
+    result = verify_decode(decode_table(spark, io), transcripts)
+    assert result["ok"], result
+
+
+def test_selective_decode_by_bucket(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sel"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=2048, num_buckets=8)
+    from parquet_converter_spark.partitioning import with_group_keys
+
+    keyed = with_group_keys(transcripts, 8, 2048)
+    expect = keyed.where(F.col("bucket") == 3).count()
+    got = decode_table(spark, io, buckets=[3]).count()
+    assert got == expect
+
+
 def test_metrics_table_has_codec_lineage(spark, transcripts, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("metrics"))
     io = ParquetDirTableIO(spark, out)

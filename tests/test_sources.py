@@ -96,6 +96,38 @@ def test_cast_battery_on_strings(spark, txt_path):
     assert sorted(r["s_long"] for r in out) == [0, 7, 42]
 
 
+def test_skip_rows_and_footer(spark, tmp_path):
+    """P3: head/tail trims (reference skiprows/skipfooter, parser.py:97-98)."""
+    p = tmp_path / "trimmed.csv"
+    p.write_text(
+        "garbage preamble\n"
+        "id,val\n"
+        "1,10\n"
+        "2,20\n"
+        "3,30\n"
+        "TOTAL,60\n"
+    )
+    df = readers.read_csv(spark, str(p), skip_rows=1, skip_footer=1)
+    rows = sorted((r["id"], r["val"]) for r in df.collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+    assert dict(df.dtypes)["id"] in ("int", "bigint")
+
+
+def test_ignore_errors_drops_malformed(spark, tmp_path):
+    """P4: ignore_errors → DROPMALFORMED (reference converter.py:419)."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "bad.csv"
+    p.write_text('id,val\n1,10\n"unclosed,20\n3,30\n')
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("val", T.IntegerType())]
+    )
+    df = readers.read_csv(spark, str(p), schema=schema, ignore_errors=True)
+    ids = sorted(r["id"] for r in df.collect() if r["id"] is not None)
+    assert 1 in ids  # good rows survive
+    assert df.where(df.val == 20).count() == 0  # malformed row dropped
+
+
 def test_discover_tables(spark, tmp_path):
     (tmp_path / "a").mkdir()
     import shutil
