@@ -30,7 +30,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .core import DeltaCodec, DictCodec, ForBitpackCodec, PlainCodec, RleCodec, WdictCodec
+from .core import (
+    DeltaCodec,
+    DeltaTransposeCodec,
+    DictCodec,
+    ForBitpackCodec,
+    PlainCodec,
+    RleCodec,
+    WdictCodec,
+)
 from .fsst import FsstCodec
 from .strutil import buf_to_strings, strings_to_buf
 
@@ -45,10 +53,13 @@ CODECS = {
     "delta": DeltaCodec(),
     "fsst": FsstCodec(),
     "wdict": WdictCodec(),
+    "dtrans": DeltaTransposeCodec(),
 }
 CODEC_IDS = {
     name: i
-    for i, name in enumerate(["plain", "dict", "rle", "forbp", "delta", "fsst", "wdict"])
+    for i, name in enumerate(
+        ["plain", "dict", "rle", "forbp", "delta", "fsst", "wdict", "dtrans"]
+    )
 }
 CODEC_NAMES = {i: n for n, i in CODEC_IDS.items()}
 
@@ -58,9 +69,9 @@ DTYPE_NAMES = {i: n for n, i in DTYPE_IDS.items()}
 # which codecs can encode which type class
 ELIGIBLE = {
     "str": ["dict", "rle", "wdict", "fsst", "plain"],
-    "int64": ["delta", "forbp", "rle", "plain"],
-    "ts_us": ["delta", "forbp", "plain"],
-    "int32": ["delta", "forbp", "rle", "dict", "plain"],
+    "int64": ["delta", "dtrans", "forbp", "rle", "plain"],
+    "ts_us": ["delta", "dtrans", "forbp", "plain"],
+    "int32": ["delta", "dtrans", "forbp", "rle", "dict", "plain"],
 }
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
@@ -222,10 +233,14 @@ def choose_codec(canonical, dtype: str, sample_n: int = 1024) -> str:
     n = len(canonical)
     if n == 0:
         return "plain"
-    if n > sample_n:
-        sample, scale = canonical[:sample_n], n / sample_n
-    else:
+    # ints encode at GB/s — up to one chunk the trial is EXACT (encode
+    # everything with every candidate, no extrapolation error; a
+    # sampled prefix of a delta chain systematically mis-ranks plain+zstd
+    # vs delta on jittery timestamps)
+    if n <= 65_536:
         sample, scale = canonical, 1.0
+    else:
+        sample, scale = canonical[:sample_n], n / sample_n
     sizes = {}
     for name in ELIGIBLE[dtype]:
         if name in ("fsst", "wdict"):

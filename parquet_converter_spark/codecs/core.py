@@ -140,6 +140,45 @@ class DeltaCodec:
 
 
 # ---------------------------------------------------------------------------
+# delta + byte-plane transposition
+
+
+class DeltaTransposeCodec:
+    """Zigzag deltas laid out byte-plane-transposed (all least-significant
+    bytes together, then the next plane, …) so the block-level zstd wrap
+    sees long near-constant runs — the Blosc/HDF5 "shuffle filter"
+    composed with delta. Wins on jittery-but-bounded deltas (timestamps
+    with irregular gaps) where bit-packing produces incompressible
+    high-entropy bits but byte planes above the jitter width are
+    constant."""
+
+    name = "dtrans"
+
+    def encode_ints(self, values: np.ndarray) -> bytes:
+        v = np.ascontiguousarray(values, dtype=np.int64)
+        if v.size == 0:
+            return b""
+        first = np.int64(v[0]).tobytes()
+        zz = zigzag_encode(np.diff(v)).astype("<u8")
+        planes = np.ascontiguousarray(zz.view(np.uint8).reshape(-1, 8).T)
+        return first + planes.tobytes()
+
+    def decode_ints(self, payload: bytes, n: int) -> np.ndarray:
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        first = np.frombuffer(payload, dtype=np.int64, count=1)[0]
+        out = np.empty(n, dtype=np.int64)
+        out[0] = first
+        if n > 1:
+            planes = np.frombuffer(payload, dtype=np.uint8, offset=8).reshape(8, n - 1)
+            zz = np.ascontiguousarray(planes.T).reshape(-1).view("<u8").astype(np.uint64)
+            deltas = zigzag_decode(zz)
+            np.cumsum(deltas, out=out[1:])
+            out[1:] += first
+        return out
+
+
+# ---------------------------------------------------------------------------
 # dictionary
 
 
