@@ -183,11 +183,26 @@ class DeltaTransposeCodec:
 
 
 def _factorize_strs(lengths: np.ndarray, data: bytes):
-    """Factorize a string chunk → (codes uint64, uniq_lengths, uniq_data)."""
-    values = buf_to_strings(lengths, data)
-    codes, uniques = pd.factorize(values, use_na_sentinel=False)
-    u_lengths, u_data = strings_to_buf(list(uniques))
-    return codes.astype(np.uint64), u_lengths, u_data
+    """Factorize a string chunk → (codes uint64, uniq_lengths, uniq_data).
+
+    pyarrow dictionary_encode — C++ hash table over the raw buffers, no
+    Python string objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(lengths)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    arr = pa.Array.from_buffers(
+        pa.large_string(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+    )
+    enc = pc.dictionary_encode(arr)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    dict_arr = enc.dictionary.cast(pa.large_string())
+    d_off = np.frombuffer(dict_arr.buffers()[1], dtype=np.int64, count=len(dict_arr) + 1)
+    d_buf = dict_arr.buffers()[2]
+    u_data = d_buf.to_pybytes()[d_off[0] : d_off[-1]] if d_buf is not None else b""
+    return codes, np.diff(d_off).astype(np.int64), u_data
 
 
 class DictCodec:

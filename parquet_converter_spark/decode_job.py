@@ -29,7 +29,33 @@ def _decode_batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield pd.DataFrame(cols)
 
 
-def decode_table(spark: SparkSession, io, buckets: list[int] | None = None) -> DataFrame:
+def _decode_batches_arrow(iterator):
+    """Arrow-native decode: each block row expands to one RecordBatch
+    built straight from buffers (pa.Array.from_buffers — no pandas)."""
+    import pyarrow as pa
+
+    from .codecs.arrow_blocks import ARROW_TYPES, decode_block_arrow
+    from .schema import COLUMN_DTYPES
+
+    for batch in iterator:
+        d = batch.to_pydict()
+        n_rows = batch.num_rows
+        for i in range(n_rows):
+            arrays = []
+            for col in ENCODED_COLUMNS:
+                arr, _codec = decode_block_arrow(bytes(d[f"{col}_blk"][i]))
+                if COLUMN_DTYPES[col] == "str":
+                    arr = arr.cast(pa.string())
+                arrays.append(arr)
+            yield pa.RecordBatch.from_arrays(arrays, names=list(ENCODED_COLUMNS))
+
+
+def decode_table(
+    spark: SparkSession,
+    io,
+    buckets: list[int] | None = None,
+    arrow_native: bool = True,
+) -> DataFrame:
     """Read committed blocks and reconstruct the transcript DataFrame.
 
     ``buckets`` selects a subset of hash buckets — the predicate lands
@@ -40,4 +66,6 @@ def decode_table(spark: SparkSession, io, buckets: list[int] | None = None) -> D
     if buckets is not None:
         blocks = blocks.where(blocks.bucket.isin([int(b) for b in buckets]))
     blocks = blocks.select(*[f"{c}_blk" for c in ENCODED_COLUMNS])
+    if arrow_native:
+        return blocks.mapInArrow(_decode_batches_arrow, schema=TRANSCRIPT_SCHEMA)
     return blocks.mapInPandas(_decode_batches, schema=TRANSCRIPT_SCHEMA)

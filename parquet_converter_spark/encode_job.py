@@ -19,12 +19,85 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import checkpoint as ckpt
+from .codecs.arrow_blocks import encode_block_arrow
 from .codecs.blocks import block_codec, encode_block
 from .partitioning import DEFAULT_SALT_ROWS, plan_num_buckets, with_group_keys
 from .schema import BLOCKS_STORED_SCHEMA, COLUMN_DTYPES, ENCODED_COLUMNS
 
 #: rows per encoded chunk — bounds Arrow batch and block sizes
 DEFAULT_CHUNK_ROWS = 65_536
+
+
+def _encode_group_arrow_fn(run_id: str, codec: str, chunk_rows: int):
+    """Arrow-native grouped-map UDF (applyInArrow): sorts, chunks, and
+    encodes straight from pa.Array buffers — zero pandas objects. Falls
+    back to an error marker row on failure (same contract as the
+    pandas path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .schema import BLOCKS_STORED_SCHEMA
+
+    out_fields = [(f.name) for f in BLOCKS_STORED_SCHEMA.fields]
+
+    def _out_table(rows: list[dict]) -> pa.Table:
+        cols = {
+            "bucket": pa.array([r["bucket"] for r in rows], pa.int32()),
+            "salt": pa.array([r["salt"] for r in rows], pa.int64()),
+            "chunk": pa.array([r["chunk"] for r in rows], pa.int32()),
+            "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+            **{
+                f"{c}_blk": pa.array([r.get(f"{c}_blk") for r in rows], pa.binary())
+                for c in ENCODED_COLUMNS
+            },
+            "meta": pa.array([r["meta"] for r in rows], pa.string()),
+            "blk_bytes": pa.array([r["blk_bytes"] for r in rows], pa.int64()),
+            "run_id": pa.array([run_id] * len(rows), pa.string()),
+        }
+        return pa.table({name: cols[name] for name in out_fields})
+
+    def encode_group(key: tuple, tbl: pa.Table) -> pa.Table:
+        bucket, salt = int(key[0].as_py()), int(key[1].as_py())
+        try:
+            idx = pc.sort_indices(
+                tbl,
+                sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+            )
+            tbl = tbl.take(idx)
+            rows = []
+            n = tbl.num_rows
+            for chunk_idx, start in enumerate(range(0, n, chunk_rows)):
+                part = tbl.slice(start, chunk_rows)
+                row: dict = {
+                    "bucket": bucket,
+                    "salt": salt,
+                    "chunk": chunk_idx,
+                    "n_rows": part.num_rows,
+                }
+                meta = {}
+                blk_bytes = 0
+                for col in ENCODED_COLUMNS:
+                    arr = part.column(col).combine_chunks()
+                    blob = encode_block_arrow(arr, COLUMN_DTYPES[col], codec)
+                    row[f"{col}_blk"] = blob
+                    meta[col] = {"codec": block_codec(blob), "bytes": len(blob)}
+                    blk_bytes += len(blob)
+                row["meta"] = json.dumps(meta)
+                row["blk_bytes"] = blk_bytes
+                rows.append(row)
+            return _out_table(rows)
+        except Exception as exc:  # noqa: BLE001 — per-group error isolation
+            err = {
+                "bucket": bucket,
+                "salt": salt,
+                "chunk": -1,
+                "n_rows": 0,
+                "meta": json.dumps({"error": repr(exc)[:2000]}),
+                "blk_bytes": 0,
+            }
+            return _out_table([err])
+
+    return encode_group
 
 
 def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
@@ -91,6 +164,7 @@ def encode_table(
     resume: bool = True,
     max_groups: int | None = None,
     resume_scope: str = "global",
+    arrow_native: bool = True,
 ) -> dict:
     """Encode a transcript DataFrame into the blocks table at ``io``.
 
@@ -130,9 +204,16 @@ def encode_table(
         # big table.
         todo = keyed.join(F.broadcast(pending), ["bucket", "salt"], "left_semi")
 
-    blocks = todo.groupBy("bucket", "salt").applyInPandas(
-        _encode_group_fn(run_id, codec, chunk_rows), schema=BLOCKS_STORED_SCHEMA
-    )
+    grouped = todo.groupBy("bucket", "salt")
+    if arrow_native:
+        blocks = grouped.applyInArrow(
+            _encode_group_arrow_fn(run_id, codec, chunk_rows),
+            schema=BLOCKS_STORED_SCHEMA,
+        )
+    else:
+        blocks = grouped.applyInPandas(
+            _encode_group_fn(run_id, codec, chunk_rows), schema=BLOCKS_STORED_SCHEMA
+        )
     io.append(blocks, ckpt.BLOCKS, compression="uncompressed")
 
     # ---- commit: derive manifest + metrics from what actually landed.

@@ -100,4 +100,4 @@ def test_decode_plan_has_no_shuffle(spark, tmp_path):
     # the only exchange allowed is the manifest-side (tiny) join input
     body = plan.split("InMemoryTableScan")[0]
     assert "Exchange hashpartitioning(conv_id" not in plan
-    assert "mapInPandas" in plan or "MapInPandas" in plan
+    assert any(m in plan for m in ("MapInArrow", "MapInPandas", "mapInPandas", "PythonMapInArrow"))
