@@ -34,6 +34,17 @@ from .blocks import (
 _HDR = struct.Struct("<BBBBII")
 _U64 = struct.Struct("<Q")
 
+# Each Spark Python worker is one of N parallel processes on the same
+# host; pyarrow's default kernel thread pool sizes itself to ALL cores,
+# so 32 workers × 32 arrow threads would oversubscribe the box 32×.
+# One kernel thread per worker process is the correct sizing.
+try:  # pragma: no cover - depends on worker context
+    if pa.cpu_count() > 2:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+except Exception:
+    pass
+
 ARROW_TYPES = {
     "str": pa.large_string(),
     "int64": pa.int64(),
