@@ -44,6 +44,36 @@ def test_frame_sample_plan(spark):
     assert all(r["count"] >= 1 for r in rows)
 
 
+def test_turn_rate_windows_watermarked(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over a transcript stream."""
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.streaming.ingest import turn_rate_windows
+    from parquet_converter_spark.synth import synth_pandas
+
+    landing = str(tmp_path / "landing")
+    src = spark.createDataFrame(synth_pandas(n_convs=10, seed=4), schema=TRANSCRIPT_SCHEMA)
+    src.write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(landing)
+    agg = turn_rate_windows(stream, window="10 minutes", late="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("turn_rates")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append-mode emits only watermark-closed windows; with a bounded
+    # source the final windows stay open, so assert the aggregation
+    # plan executed and produced a queryable table
+    rows = spark.sql("SELECT * FROM turn_rates").collect()
+    assert q.lastProgress is not None
+    total = spark.sql("SELECT sum(turns) AS t FROM turn_rates").collect()[0]["t"]
+    assert total is None or total <= src.count()
+
+
 def test_stream_encode_micro_batches(spark, tmp_path):
     from parquet_converter_spark import checkpoint as ckpt
     from parquet_converter_spark.decode_job import decode_table

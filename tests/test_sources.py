@@ -96,6 +96,16 @@ def test_cast_battery_on_strings(spark, txt_path):
     assert sorted(r["s_long"] for r in out) == [0, 7, 42]
 
 
+def test_txt_regex_delimited(spark, tmp_path):
+    """S2 pandas-path parity: whitespace-regex-delimited lines
+    (reference parser.py:108-151 default sep='\\s+')."""
+    p = tmp_path / "spaced.txt"
+    p.write_text("id   name    qty\n1  alpha   10\n2    beta  20\n")
+    df = readers.read_txt_regex(spark, str(p), pattern=r"\s+")
+    rows = sorted((r["id"], r["name"], r["qty"]) for r in df.collect())
+    assert rows == [("1", "alpha", "10"), ("2", "beta", "20")]
+
+
 def test_skip_rows_and_footer(spark, tmp_path):
     """P3: head/tail trims (reference skiprows/skipfooter, parser.py:97-98)."""
     p = tmp_path / "trimmed.csv"
