@@ -49,6 +49,8 @@ def committed_blocks(io) -> DataFrame:
     """Blocks visible to readers: semi-join on committed (bucket, salt, run_id)."""
     from .schema import BLOCKS_STORED_SCHEMA  # local import to avoid cycle
 
+    if not io.exists(BLOCKS):
+        return io.spark.createDataFrame([], BLOCKS_STORED_SCHEMA)
     blocks = io.read(BLOCKS, BLOCKS_STORED_SCHEMA)
     # every committed (bucket, salt, run_id) triple is visible: distinct
     # runs over the same group key are DISJOINT data increments

@@ -52,5 +52,9 @@ def get_spark(
     # when available so 32 concurrent shuffle writers don't serialize on
     # one disk (a real cluster has per-executor NVMe for this)
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+        # per-process subdir: concurrent sessions (tests + driver + bench
+        # workers) must never race each other's shuffle-file cleanup
+        builder = builder.config(
+            "spark.local.dir", f"/dev/shm/spark-local/{os.getpid()}"
+        )
     return builder.getOrCreate()
