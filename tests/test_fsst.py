@@ -83,3 +83,43 @@ def test_unicode_text():
 def test_random_bytes_roundtrip(size):
     data = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
     _rt(data)
+
+
+# ------------------------------------------------- vectorized kernel parity
+
+
+from parquet_converter_spark.codecs.fsst import compress_vectorized  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"a",
+        b"the quick brown the quick brown the quick" * 100,
+        bytes([ESCAPE] * 9) + b"Aa" + bytes([ESCAPE]),
+        ("héllo 🎉 wörld " * 300).encode(),
+    ],
+    ids=["empty", "one", "text", "escapes", "unicode"],
+)
+def test_vectorized_kernel_roundtrip(data):
+    syms = build_symbol_table(data)
+    comp = compress_vectorized(data, syms)
+    assert decompress(comp, syms) == data
+
+
+def test_vectorized_kernel_matches_regex_ratio():
+    data = b"select a from t where b = c order by d " * 2000
+    syms = build_symbol_table(data)
+    c_re = compress(data, syms)
+    c_np = compress_vectorized(data, syms)
+    assert decompress(c_np, syms) == data
+    # exact-greedy tokenization → identical (or better) ratio
+    assert len(c_np) <= len(c_re) * 1.01
+
+
+def test_vectorized_kernel_random_bytes():
+    for size in [3, 257, 5000]:
+        data = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        syms = build_symbol_table(data)
+        assert decompress(compress_vectorized(data, syms), syms) == data
