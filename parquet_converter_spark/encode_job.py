@@ -28,7 +28,16 @@ from .schema import BLOCKS_STORED_SCHEMA, COLUMN_DTYPES, ENCODED_COLUMNS
 DEFAULT_CHUNK_ROWS = 65_536
 
 
-def _encode_group_arrow_fn(run_id: str, codec: str, chunk_rows: int):
+def _codec_for(codec, col: str):
+    """codec may be a single name ('auto', 'dict', …) or a per-column
+    dict {column: name} with 'auto' fallback — the engine analog of the
+    reference's per-column dtypes override (parser.py:190-192)."""
+    if isinstance(codec, dict):
+        return codec.get(col, "auto")
+    return codec
+
+
+def _encode_group_arrow_fn(run_id: str, codec, chunk_rows: int):
     """Arrow-native grouped-map UDF (applyInArrow): sorts, chunks, and
     encodes straight from pa.Array buffers — zero pandas objects. Falls
     back to an error marker row on failure (same contract as the
@@ -78,7 +87,7 @@ def _encode_group_arrow_fn(run_id: str, codec: str, chunk_rows: int):
                 blk_bytes = 0
                 for col in ENCODED_COLUMNS:
                     arr = part.column(col).combine_chunks()
-                    blob = encode_block_arrow(arr, COLUMN_DTYPES[col], codec)
+                    blob = encode_block_arrow(arr, COLUMN_DTYPES[col], _codec_for(codec, col))
                     row[f"{col}_blk"] = blob
                     meta[col] = {"codec": block_codec(blob), "bytes": len(blob)}
                     blk_bytes += len(blob)
@@ -121,7 +130,7 @@ def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
                 meta = {}
                 blk_bytes = 0
                 for col in ENCODED_COLUMNS:
-                    blob = encode_block(part[col], COLUMN_DTYPES[col], codec)
+                    blob = encode_block(part[col], COLUMN_DTYPES[col], _codec_for(codec, col))
                     row[f"{col}_blk"] = bytearray(blob)
                     meta[col] = {"codec": block_codec(blob), "bytes": len(blob)}
                     blk_bytes += len(blob)
@@ -157,7 +166,7 @@ def encode_table(
     df: DataFrame,
     io,
     run_id: str | None = None,
-    codec: str = "auto",
+    codec: str | dict = "auto",
     salt_rows: int = DEFAULT_SALT_ROWS,
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     num_buckets: int | None = None,

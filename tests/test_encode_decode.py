@@ -117,6 +117,27 @@ def test_selective_decode_by_bucket(spark, transcripts, tmp_path_factory):
     assert got == expect
 
 
+def test_per_column_codec_override(spark, transcripts, tmp_path_factory):
+    """codec={col: name} pins specific columns, 'auto' for the rest —
+    the engine analog of the reference's per-column dtypes override."""
+    out = str(tmp_path_factory.mktemp("override"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(
+        spark, transcripts, io, run_id="r1", salt_rows=2048, num_buckets=4,
+        codec={"role": "rle", "text": "fsst", "ts": "delta"},
+    )
+    metrics = io.read("metrics")
+    picked = {
+        r["column"]: {x["codec"] for x in metrics.where(F.col("column") == r["column"]).collect()}
+        for r in metrics.select("column").distinct().collect()
+    }
+    assert picked["role"] == {"rle"}
+    assert picked["text"] == {"fsst"}
+    assert picked["ts"] == {"delta"}
+    result = verify_decode(decode_table(spark, io), transcripts)
+    assert result["ok"], result
+
+
 def test_metrics_table_has_codec_lineage(spark, transcripts, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("metrics"))
     io = ParquetDirTableIO(spark, out)
