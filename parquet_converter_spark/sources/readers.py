@@ -41,6 +41,7 @@ def read_csv(
     encoding: str = "utf-8",
     ignore_errors: bool = False,
     sample_rows: int = 100_000,
+    dt_formats: list[str] | None = None,
 ) -> DataFrame:
     """S1/S3 — CSV scan with the reference's options.
 
@@ -95,7 +96,7 @@ def read_csv(
     )
     from ..functions.casts import infer_and_cast
 
-    return infer_and_cast(df, sample_rows)
+    return infer_and_cast(df, sample_rows, dt_formats=dt_formats)
 
 
 def read_txt(
@@ -225,6 +226,20 @@ def sampled_schema(
         .csv(lines.rdd.map(lambda r: r[0]))
     )
     return probe.schema
+
+
+def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Extension-dispatched read (reference: suffix → csv/txt options,
+    converter.py:360-388; unsupported extension is an error, matching
+    convert_file's error stats for unknown suffixes)."""
+    lower = path.lower()
+    if lower.endswith(".csv"):
+        return read_csv(spark, path, **kwargs)
+    if lower.endswith(".txt"):
+        return read_txt(spark, path, **kwargs)
+    if lower.endswith(".parquet"):
+        return read_parquet(spark, path, schema=kwargs.get("schema"))
+    raise ValueError(f"unsupported file extension: {path}")
 
 
 def read_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:

@@ -138,6 +138,13 @@ def test_ignore_errors_drops_malformed(spark, tmp_path):
     assert df.where(df.val == 20).count() == 0  # malformed row dropped
 
 
+def test_read_auto_dispatch(spark, csv_path, txt_path):
+    assert readers.read_auto(spark, csv_path).count() == 5
+    assert readers.read_auto(spark, txt_path).count() == 3
+    with pytest.raises(ValueError, match="unsupported"):
+        readers.read_auto(spark, "/tmp/file.xlsx")
+
+
 def test_discover_tables(spark, tmp_path):
     (tmp_path / "a").mkdir()
     import shutil
