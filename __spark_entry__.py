@@ -16,8 +16,13 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 import tempfile
 from collections.abc import Callable
+
+# the driver may import this file from any cwd — make the repo package
+# importable regardless
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -310,6 +315,44 @@ def _q_lsh_near_dup_pairs(spark, sf):
     )
 
 
+def _q_embedding_compression(spark, sf):
+    """Lossless float-vector codec metrics over the embeddings table
+    (byte-plane transposed float32 blocks + zstd)."""
+    import pandas as pd
+
+    from parquet_converter_spark.codecs import block_codec, decode_block, encode_block
+
+    def comp(it):
+        for pdf in it:
+            s = pdf["embedding"]
+            blob = encode_block(s, "f32list", None)
+            out, used = decode_block(blob)
+            ok = all(
+                a is not None and list(map(float, a)) == list(map(float, b))
+                for a, b in zip(s.tolist(), out.tolist())
+            )
+            raw = int(sum(len(v) * 4 for v in s))
+            yield pd.DataFrame(
+                [{"n_vecs": len(s), "codec": used, "raw_bytes": raw,
+                  "encoded_bytes": len(blob), "roundtrip_ok": ok}]
+            )
+
+    emb = _t(spark, sf, "embeddings").select("embedding").coalesce(1)
+    df = emb.mapInPandas(
+        comp,
+        "n_vecs long, codec string, raw_bytes long, encoded_bytes long, roundtrip_ok boolean",
+    )
+    # single summary row so the result shape is independent of Arrow
+    # batch boundaries (rows-only stability)
+    return df.agg(
+        F.sum("n_vecs").alias("n_vecs"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+        F.min("roundtrip_ok").alias("all_roundtrip_ok"),
+        F.array_join(F.sort_array(F.collect_set("codec")), ",").alias("codecs_used"),
+    )
+
+
 def _q_media_stats(spark, sf):
     """Multimodal metadata aggregation (payload column pruned)."""
     from parquet_converter_spark.operators import multimodal
@@ -379,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "embedding_compression": _q_embedding_compression,
     }
 
 

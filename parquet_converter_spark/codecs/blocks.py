@@ -58,12 +58,17 @@ CODECS = {
 CODEC_IDS = {
     name: i
     for i, name in enumerate(
-        ["plain", "dict", "rle", "forbp", "delta", "fsst", "wdict", "dtrans"]
+        ["plain", "dict", "rle", "forbp", "delta", "fsst", "wdict", "dtrans",
+         "fplain", "ftrans"]
     )
 }
+
+from .vectors import VEC_CODECS  # noqa: E402  (codec ids must exist first)
+
+CODECS.update(VEC_CODECS)
 CODEC_NAMES = {i: n for n, i in CODEC_IDS.items()}
 
-DTYPE_IDS = {"str": 0, "int64": 1, "ts_us": 2, "int32": 3}
+DTYPE_IDS = {"str": 0, "int64": 1, "ts_us": 2, "int32": 3, "f32list": 4}
 DTYPE_NAMES = {i: n for n, i in DTYPE_IDS.items()}
 
 # which codecs can encode which type class
@@ -72,6 +77,7 @@ ELIGIBLE = {
     "int64": ["delta", "dtrans", "forbp", "rle", "plain"],
     "ts_us": ["delta", "dtrans", "forbp", "plain"],
     "int32": ["delta", "dtrans", "forbp", "rle", "dict", "plain"],
+    "f32list": ["ftrans", "fplain"],
 }
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
@@ -97,6 +103,16 @@ def _decompress(flag: int, data: bytes, raw_len: int) -> bytes:
 def _extract(series: pd.Series, dtype: str):
     """Split a pandas Series into (validity bool[n], non-null canonical values)."""
     n = len(series)
+    if dtype == "f32list":
+        valid = series.notna().to_numpy()
+        vals = series[valid]
+        lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.float32) for v in vals])
+            if len(vals)
+            else np.zeros(0, dtype=np.float32)
+        )
+        return valid, (lengths, flat)
     if dtype == "str":
         valid = series.notna().to_numpy()
         vals = series[valid].astype(object).to_numpy()
@@ -115,6 +131,14 @@ def _extract(series: pd.Series, dtype: str):
 
 def _restore(valid: np.ndarray, values, dtype: str) -> pd.Series:
     n = valid.size
+    if dtype == "f32list":
+        lengths, flat = values
+        bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=bounds[1:])
+        vecs = [flat[bounds[i] : bounds[i + 1]].tolist() for i in range(len(lengths))]
+        out = np.full(n, None, dtype=object)
+        out[valid] = np.array(vecs + [None], dtype=object)[:-1] if vecs else []
+        return pd.Series(out, dtype=object)
     if dtype == "str":
         lengths, data = values
         strs = buf_to_strings(lengths, data)
@@ -145,6 +169,9 @@ def _codec_encode(codec_name: str, dtype: str, canonical) -> bytes:
     if dtype == "str":
         lengths, data = canonical
         return codec.encode_strs(lengths, data)
+    if dtype == "f32list":
+        lengths, flat = canonical
+        return codec.encode_vecs(lengths, flat)
     return codec.encode_ints(canonical)
 
 
@@ -152,6 +179,8 @@ def _codec_decode(codec_name: str, dtype: str, payload: bytes, n: int):
     codec = CODECS[codec_name]
     if dtype == "str":
         return codec.decode_strs(payload, n)
+    if dtype == "f32list":
+        return codec.decode_vecs(payload, n)
     return codec.decode_ints(payload, n)
 
 
@@ -229,6 +258,21 @@ def choose_codec(canonical, dtype: str, sample_n: int = 1024) -> str:
                 if sizes["fsst"] > 0.92 * fast[alt]:
                     return alt
         return best
+
+    if dtype == "f32list":
+        lengths, flat = canonical
+        if len(lengths) == 0:
+            return "fplain"
+        cap = min(len(lengths), 2048)
+        s_lengths = lengths[:cap]
+        s_flat = flat[: int(s_lengths.sum())]
+        scale = max(int(lengths.sum()), 1) / max(int(s_lengths.sum()), 1)
+        sizes = {}
+        for name in ELIGIBLE["f32list"]:
+            payload = _codec_encode(name, dtype, (s_lengths, s_flat))
+            _, wrapped = _maybe_compress(payload)
+            sizes[name] = len(wrapped) * scale
+        return min(sizes, key=sizes.get)
 
     n = len(canonical)
     if n == 0:

@@ -170,6 +170,24 @@ def test_auto_selects_reasonably():
     assert block_codec(blob) in ("rle", "dict")
 
 
+def test_f32list_vector_roundtrip():
+    centers = rng.standard_normal((4, 16)).astype(np.float32)
+    vecs = [
+        (centers[i % 4] + np.float32(0.1) * rng.standard_normal(16).astype(np.float32)).tolist()
+        for i in range(500)
+    ]
+    vecs[3] = None
+    vecs[4] = []
+    s = pd.Series(vecs, dtype=object)
+    for codec in ["fplain", "ftrans", None]:
+        blob = encode_block(s, "f32list", codec)
+        out, used = decode_block(blob)
+        assert s.isna().tolist() == out.isna().tolist()
+        for a, b in zip(s.tolist(), out.tolist()):
+            if a is not None:
+                assert np.array_equal(np.float32(a), np.float32(b))  # bit-identical
+
+
 def test_compression_beats_plain_on_text():
     words = ["the", "quick", "brown", "fox", "query", "spark", "encode"]
     texts = pd.Series(
