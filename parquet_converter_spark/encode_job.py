@@ -207,11 +207,14 @@ def encode_table(
         pending = ckpt.pending_groups(io, planned, scope_run) if resume else planned
         if max_groups is not None:
             pending = pending.orderBy("bucket", "salt").limit(max_groups)
-        # broadcast the pending-group list: it is tiny relative to the
-        # data (one row per ~salt_rows input rows) and turns the resume
-        # filter into a map-side semi join — no extra shuffle of the
-        # big table.
-        todo = keyed.join(F.broadcast(pending), ["bucket", "salt"], "left_semi")
+        # the pending-group list is one row per ~salt_rows input rows —
+        # tiny in most resumes, but at 10^12 turns a cold restart has
+        # ~15M groups (~300MB), past safe broadcast size. Hint broadcast
+        # only when it provably fits; otherwise let Catalyst/AQE pick
+        # (shuffled hash join on the already-shuffle-bound keys).
+        if pending.limit(2_000_001).count() <= 2_000_000:
+            pending = F.broadcast(pending)
+        todo = keyed.join(pending, ["bucket", "salt"], "left_semi")
 
     grouped = todo.groupBy("bucket", "salt")
     if arrow_native:
