@@ -20,6 +20,7 @@ from .schema import MANIFEST_SCHEMA
 MANIFEST = "manifest"
 BLOCKS = "blocks"
 METRICS = "metrics"
+TABLE_META = "table_meta"
 
 
 def read_manifest(io) -> DataFrame:

@@ -54,6 +54,7 @@ def decode_table(
     spark: SparkSession,
     io,
     buckets: list[int] | None = None,
+    columns: list[str] | None = None,
     arrow_native: bool = True,
 ) -> DataFrame:
     """Read committed blocks and reconstruct the transcript DataFrame.
@@ -61,11 +62,63 @@ def decode_table(
     ``buckets`` selects a subset of hash buckets — the predicate lands
     on the blocks parquet scan (partition-level pushdown), so a
     selective decode of one bucket reads ~1/num_buckets of the data.
+    ``columns`` projects a subset of columns — only those columns'
+    binary blocks are READ at all (parquet column pruning on the
+    blocks table), the columnar payoff of per-column blocks.
     """
+    import pyspark.sql.types as T
+
+    cols = list(columns) if columns is not None else list(ENCODED_COLUMNS)
+    unknown = set(cols) - set(ENCODED_COLUMNS)
+    if unknown:
+        raise ValueError(f"unknown columns: {sorted(unknown)}")
+    out_schema = T.StructType([TRANSCRIPT_SCHEMA[c] for c in cols])
     blocks = ckpt.committed_blocks(io)
     if buckets is not None:
         blocks = blocks.where(blocks.bucket.isin([int(b) for b in buckets]))
-    blocks = blocks.select(*[f"{c}_blk" for c in ENCODED_COLUMNS])
+    blocks = blocks.select(*[f"{c}_blk" for c in cols])
     if arrow_native:
-        return blocks.mapInArrow(_decode_batches_arrow, schema=TRANSCRIPT_SCHEMA)
+        return blocks.mapInArrow(_decode_batches_arrow_cols(cols), schema=out_schema)
     return blocks.mapInPandas(_decode_batches, schema=TRANSCRIPT_SCHEMA)
+
+
+def _decode_batches_arrow_cols(cols: list[str]):
+    def fn(iterator):
+        import pyarrow as pa
+
+        from .codecs.arrow_blocks import decode_block_arrow
+        from .schema import COLUMN_DTYPES
+
+        for batch in iterator:
+            d = batch.to_pydict()
+            for i in range(batch.num_rows):
+                arrays = []
+                for col in cols:
+                    arr, _codec = decode_block_arrow(bytes(d[f"{col}_blk"][i]))
+                    if COLUMN_DTYPES[col] == "str":
+                        arr = arr.cast(pa.string())
+                    arrays.append(arr)
+                yield pa.RecordBatch.from_arrays(arrays, names=cols)
+
+    return fn
+
+
+def decode_conversation(spark: SparkSession, io, conv_id: str, arrow_native: bool = True) -> DataFrame:
+    """Point lookup: decode one conversation's turns.
+
+    Uses the engine's own partitioning as an index: candidate buckets =
+    {pmod(xxhash64(conv_id), nb) for every bucketing that ever wrote
+    (table_meta)} → blocks scan prunes to those buckets → final row
+    filter. At 10^12 turns this touches ~1/num_buckets of the table
+    instead of all of it."""
+    from pyspark.sql import functions as F
+
+    meta = io.read(ckpt.TABLE_META)
+    nbs = [r["num_buckets"] for r in meta.select("num_buckets").distinct().collect()]
+    one = spark.createDataFrame([(conv_id,)], "conv_id string")
+    cand = {
+        one.select(F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("b")).collect()[0]["b"]
+        for nb in nbs
+    }
+    df = decode_table(spark, io, buckets=sorted(cand), arrow_native=arrow_native)
+    return df.where(F.col("conv_id") == conv_id)

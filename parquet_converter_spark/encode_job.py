@@ -257,6 +257,16 @@ def encode_table(
     )
     io.append(manifest, ckpt.MANIFEST, compression="snappy")
 
+    # table metadata: partitioning parameters decoders need for
+    # selective reads (bucket pruning / conv_id point lookup). One row
+    # per run — epochs/resumes may plan different bucket counts, and a
+    # pruning reader must consider every bucketing that ever wrote.
+    meta_df = spark.createDataFrame(
+        [(run_id, int(num_buckets), int(salt_rows), int(chunk_rows), 1)],
+        "run_id string, num_buckets int, salt_rows int, chunk_rows int, format_version int",
+    )
+    io.append(meta_df, ckpt.TABLE_META, compression="snappy")
+
     # per-(group, column) codec metrics from the meta JSON
     meta_schema = "map<string, struct<codec:string, bytes:bigint>>"
     metrics = (

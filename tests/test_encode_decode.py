@@ -117,6 +117,39 @@ def test_selective_decode_by_bucket(spark, transcripts, tmp_path_factory):
     assert got == expect
 
 
+def test_column_projected_decode(spark, transcripts, tmp_path_factory):
+    """Decoding a column subset must read ONLY those blocks (pruned
+    scan) and reproduce the columns exactly."""
+    from parquet_converter_spark.plans.inspect import read_schemas
+
+    out = str(tmp_path_factory.mktemp("proj"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=2048, num_buckets=4)
+    sub = decode_table(spark, io, columns=["conv_id", "turn_idx", "role"])
+    assert sub.columns == ["conv_id", "turn_idx", "role"]
+    schemas = [s for s in read_schemas(sub) if "_blk" in s]
+    assert schemas and all("text_blk" not in s and "ts_blk" not in s for s in schemas)
+    got = {(r["conv_id"], r["turn_idx"]): r["role"] for r in sub.collect()}
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["role"]
+        for r in transcripts.select("conv_id", "turn_idx", "role").collect()
+    }
+    assert got == want
+
+
+def test_conversation_point_lookup(spark, transcripts, tmp_path_factory):
+    from parquet_converter_spark.decode_job import decode_conversation
+
+    out = str(tmp_path_factory.mktemp("lookup"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=2048, num_buckets=8)
+    conv = "conv_00000003"
+    got = decode_conversation(spark, io, conv).orderBy("turn_idx").collect()
+    want = transcripts.where(F.col("conv_id") == conv).orderBy("turn_idx").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
 def test_per_column_codec_override(spark, transcripts, tmp_path_factory):
     """codec={col: name} pins specific columns, 'auto' for the rest —
     the engine analog of the reference's per-column dtypes override."""
