@@ -100,3 +100,12 @@ def test_stream_encode_micro_batches(spark, tmp_path):
     # manifest has per-epoch lineage
     runs = {r["run_id"] for r in ckpt.read_manifest(io).select("run_id").distinct().collect()}
     assert all(r.startswith("stream_epoch_") for r in runs)
+
+    # point lookup works across epochs (bucket pruning unions every
+    # bucketing recorded in table_meta)
+    from parquet_converter_spark.decode_job import decode_conversation
+
+    conv = src.select("conv_id").first()["conv_id"]
+    got = decode_conversation(spark, io, conv).count()
+    want = src.where(F.col("conv_id") == conv).count()
+    assert got == want
