@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     dp = sub.add_parser("decode", help="decode committed blocks back to a transcript table")
     dp.add_argument("--out", required=True)
     dp.add_argument("--target", required=True)
+    dp.add_argument("--columns", default=None, help="comma-separated column subset (pruned read)")
+    dp.add_argument("--conv-id", default=None, help="decode one conversation (bucket-pruned point lookup)")
 
     vp = sub.add_parser("verify", help="bit-identical check: decode vs source")
     vp.add_argument("--input", required=True)
@@ -95,9 +97,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "decode":
-        from .decode_job import decode_table
+        from .decode_job import decode_conversation, decode_table
 
-        decoded = decode_table(spark, _io(spark, args.out))
+        io = _io(spark, args.out)
+        if args.conv_id:
+            decoded = decode_conversation(spark, io, args.conv_id)
+        else:
+            cols = args.columns.split(",") if args.columns else None
+            decoded = decode_table(spark, io, columns=cols)
         decoded.write.mode("overwrite").parquet(args.target)
         print(json.dumps({"written": args.target, "rows": spark.read.parquet(args.target).count()}))
         return 0

@@ -113,12 +113,19 @@ def decode_conversation(spark: SparkSession, io, conv_id: str, arrow_native: boo
     instead of all of it."""
     from pyspark.sql import functions as F
 
-    meta = io.read(ckpt.TABLE_META)
-    nbs = [r["num_buckets"] for r in meta.select("num_buckets").distinct().collect()]
-    one = spark.createDataFrame([(conv_id,)], "conv_id string")
-    cand = {
-        one.select(F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("b")).collect()[0]["b"]
-        for nb in nbs
-    }
-    df = decode_table(spark, io, buckets=sorted(cand), arrow_native=arrow_native)
+    buckets = None
+    if io.exists(ckpt.TABLE_META):
+        meta = io.read(ckpt.TABLE_META)
+        nbs = [r["num_buckets"] for r in meta.select("num_buckets").distinct().collect()]
+        one = spark.createDataFrame([(conv_id,)], "conv_id string")
+        buckets = sorted(
+            {
+                one.select(
+                    F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("b")
+                ).collect()[0]["b"]
+                for nb in nbs
+            }
+        )
+    # tables written before table_meta existed fall back to a full scan
+    df = decode_table(spark, io, buckets=buckets, arrow_native=arrow_native)
     return df.where(F.col("conv_id") == conv_id)
