@@ -224,6 +224,14 @@ def _q_distinct_docs(spark, sf):
     return dedup.distinct_count_after_dedup(_t(spark, sf, "documents"))
 
 
+def _q_dedup_keep_first(spark, sf):
+    """Cleaned corpus: keep lowest doc_id per exact 40-char prefix."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    return dedup.drop_exact_dups(docs, "prefix", "doc_id").select("doc_id").orderBy("doc_id")
+
+
 def _q_token_count_stats(spark, sf):
     return textstats.token_count_stats(_t(spark, sf, "documents"))
 
@@ -402,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         # training-data ops
         "dedup_exact_prefix": _q_dedup_exact_prefix,
+        "dedup_keep_first": _q_dedup_keep_first,
         "distinct_docs": _q_distinct_docs,
         "token_count_stats": _q_token_count_stats,
         "quality_scores": _q_quality_scores,
@@ -516,6 +525,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, substr(text, 1, 40) AS t FROM documents)
             GROUP BY t HAVING COUNT(*) > 1 ORDER BY keep_id""",
         "distinct_docs": "SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents",
+        "dedup_keep_first": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY substr(text, 1, 40)
+                                        ORDER BY doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn = 1 ORDER BY doc_id""",
         "token_count_stats": """
             SELECT CAST(SUM(nt) AS BIGINT) AS total_tokens,
                    round(AVG(nt), 4) AS avg_tokens,

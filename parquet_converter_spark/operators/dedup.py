@@ -34,6 +34,20 @@ def distinct_count_after_dedup(df: DataFrame, text_col: str = "text") -> DataFra
     return df.agg(F.countDistinct(text_col).alias("distinct_docs"))
 
 
+def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The cleaned corpus: keep the lowest-id document per exact text.
+    One shuffle (window over the text hash); at 10^12 docs partition by
+    xxhash64(text) rather than the full text to bound shuffle keys."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(text_col).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _shingles(text_col: str, k: int = 3):
     """Word k-shingles as an array column (JVM-side)."""
     words = F.split(F.trim(F.col(text_col)), " ")

@@ -117,6 +117,22 @@ def test_selective_decode_by_bucket(spark, transcripts, tmp_path_factory):
     assert got == expect
 
 
+def test_pandas_and_arrow_paths_agree(spark, transcripts, tmp_path_factory):
+    """The pandas grouped-map/map paths are the reference
+    implementation; both engine paths must produce interchangeable
+    blocks and identical decodes."""
+    base = tmp_path_factory.mktemp("paths")
+    io_a = ParquetDirTableIO(spark, str(base / "arrow"))
+    io_p = ParquetDirTableIO(spark, str(base / "pandas"))
+    encode_table(spark, transcripts, io_a, run_id="r", salt_rows=2048, num_buckets=4, arrow_native=True)
+    encode_table(spark, transcripts, io_p, run_id="r", salt_rows=2048, num_buckets=4, arrow_native=False)
+    # cross-decode: arrow-written blocks through the pandas decoder
+    dec_cross = decode_table(spark, io_a, arrow_native=False)
+    assert verify_decode(dec_cross, transcripts)["ok"]
+    dec_p = decode_table(spark, io_p, arrow_native=True)
+    assert verify_decode(dec_p, transcripts)["ok"]
+
+
 def test_column_projected_decode(spark, transcripts, tmp_path_factory):
     """Decoding a column subset must read ONLY those blocks (pruned
     scan) and reproduce the columns exactly."""
