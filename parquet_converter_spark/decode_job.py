@@ -19,16 +19,6 @@ from .codecs.blocks import decode_block
 from .schema import ENCODED_COLUMNS, TRANSCRIPT_SCHEMA
 
 
-def _decode_batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in iterator:
-        for _, row in pdf.iterrows():
-            cols = {}
-            for col in ENCODED_COLUMNS:
-                series, _codec = decode_block(bytes(row[f"{col}_blk"]))
-                cols[col] = series.reset_index(drop=True)
-            yield pd.DataFrame(cols)
-
-
 def _decode_batches_arrow(iterator):
     """Arrow-native decode: each block row expands to one RecordBatch
     built straight from buffers (pa.Array.from_buffers — no pandas)."""
@@ -79,7 +69,20 @@ def decode_table(
     blocks = blocks.select(*[f"{c}_blk" for c in cols])
     if arrow_native:
         return blocks.mapInArrow(_decode_batches_arrow_cols(cols), schema=out_schema)
-    return blocks.mapInPandas(_decode_batches, schema=TRANSCRIPT_SCHEMA)
+    return blocks.mapInPandas(_decode_batches_cols(cols), schema=out_schema)
+
+
+def _decode_batches_cols(cols: list[str]):
+    def fn(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                out = {}
+                for col in cols:
+                    series, _codec = decode_block(bytes(row[f"{col}_blk"]))
+                    out[col] = series.reset_index(drop=True)
+                yield pd.DataFrame(out)
+
+    return fn
 
 
 def _decode_batches_arrow_cols(cols: list[str]):
