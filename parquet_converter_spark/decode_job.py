@@ -19,27 +19,6 @@ from .codecs.blocks import decode_block
 from .schema import ENCODED_COLUMNS, TRANSCRIPT_SCHEMA
 
 
-def _decode_batches_arrow(iterator):
-    """Arrow-native decode: each block row expands to one RecordBatch
-    built straight from buffers (pa.Array.from_buffers — no pandas)."""
-    import pyarrow as pa
-
-    from .codecs.arrow_blocks import ARROW_TYPES, decode_block_arrow
-    from .schema import COLUMN_DTYPES
-
-    for batch in iterator:
-        d = batch.to_pydict()
-        n_rows = batch.num_rows
-        for i in range(n_rows):
-            arrays = []
-            for col in ENCODED_COLUMNS:
-                arr, _codec = decode_block_arrow(bytes(d[f"{col}_blk"][i]))
-                if COLUMN_DTYPES[col] == "str":
-                    arr = arr.cast(pa.string())
-                arrays.append(arr)
-            yield pa.RecordBatch.from_arrays(arrays, names=list(ENCODED_COLUMNS))
-
-
 def decode_table(
     spark: SparkSession,
     io,
