@@ -325,40 +325,12 @@ def _q_lsh_near_dup_pairs(spark, sf):
 
 def _q_embedding_compression(spark, sf):
     """Lossless float-vector codec metrics over the embeddings table
-    (byte-plane transposed float32 blocks + zstd)."""
-    import pandas as pd
+    (byte-plane transposed float32 blocks + zstd). Runs at the scan's
+    natural parallelism — one metrics row per Arrow batch, merged by a
+    single-row aggregate; roundtrip compare is vectorized numpy."""
+    from parquet_converter_spark.operators import embcodec
 
-    from parquet_converter_spark.codecs import block_codec, decode_block, encode_block
-
-    def comp(it):
-        for pdf in it:
-            s = pdf["embedding"]
-            blob = encode_block(s, "f32list", None)
-            out, used = decode_block(blob)
-            ok = all(
-                a is not None and list(map(float, a)) == list(map(float, b))
-                for a, b in zip(s.tolist(), out.tolist())
-            )
-            raw = int(sum(len(v) * 4 for v in s))
-            yield pd.DataFrame(
-                [{"n_vecs": len(s), "codec": used, "raw_bytes": raw,
-                  "encoded_bytes": len(blob), "roundtrip_ok": ok}]
-            )
-
-    emb = _t(spark, sf, "embeddings").select("embedding").coalesce(1)
-    df = emb.mapInPandas(
-        comp,
-        "n_vecs long, codec string, raw_bytes long, encoded_bytes long, roundtrip_ok boolean",
-    )
-    # single summary row so the result shape is independent of Arrow
-    # batch boundaries (rows-only stability)
-    return df.agg(
-        F.sum("n_vecs").alias("n_vecs"),
-        F.sum("raw_bytes").alias("raw_bytes"),
-        F.sum("encoded_bytes").alias("encoded_bytes"),
-        F.min("roundtrip_ok").alias("all_roundtrip_ok"),
-        F.array_join(F.sort_array(F.collect_set("codec")), ",").alias("codecs_used"),
-    )
+    return embcodec.compression_metrics(_t(spark, sf, "embeddings"), "embedding")
 
 
 def _q_media_stats(spark, sf):

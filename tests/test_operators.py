@@ -107,3 +107,27 @@ def test_analyzer_fused_profile(spark):
     assert top[0]["value"] == "b" and top[0]["count"] == 2
     text = analyzer.format_report({"t": a})
     assert "rows=3" in text and "label" in text
+
+
+def test_embedding_compression_parallel_and_stable(spark):
+    """The codec-metrics query must NOT funnel through one task: with a
+    4-partition input it emits one per-batch row per partition, and the
+    merged summary matches the single-partition run bit-for-bit."""
+    import numpy as np
+
+    from parquet_converter_spark.operators import embcodec
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(256)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    per_batch = embcodec.per_batch_metrics(df.repartition(4), "embedding")
+    batches = per_batch.collect()
+    assert len(batches) >= 4  # >1 task: at least one metrics row per partition
+    assert all(b["roundtrip_ok"] for b in batches)
+
+    multi = embcodec.compression_metrics(df.repartition(4), "embedding").collect()[0]
+    single = embcodec.compression_metrics(df.coalesce(1), "embedding").collect()[0]
+    assert multi["n_vecs"] == single["n_vecs"] == 256
+    assert multi["raw_bytes"] == single["raw_bytes"] == 256 * 16 * 4
+    assert multi["all_roundtrip_ok"] and single["all_roundtrip_ok"]

@@ -39,7 +39,8 @@ def test_resume_completes_remaining_groups(spark, transcripts, tmp_path_factory)
         spark, transcripts, io, run_id="r2", salt_rows=512, num_buckets=6
     )
     manifest = ckpt.read_manifest(io)
-    r2_groups = manifest.where(F.col("run_id") == "r2").count()
+    # stored run_ids carry the per-attempt suffix (replay safety)
+    r2_groups = manifest.where(F.col("run_id").startswith("r2~")).count()
     total_groups = manifest.count()
     assert r2_groups == total_groups - 3
     assert s1["rows"] + s2["rows"] == transcripts.count()
@@ -145,3 +146,75 @@ def test_orphaned_uncommitted_blocks_are_invisible(spark, transcripts, tmp_path_
     decoded = decode_table(spark, io)
     result = verify_decode(decoded, transcripts)
     assert result["ok"], result
+
+
+def test_same_run_id_rerun_appends_nothing(spark, transcripts, tmp_path_factory):
+    """Re-running a fully-committed run_id must be a true no-op: zero new
+    manifest rows (the old bug re-derived the manifest from ALL blocks
+    matching run_id, double-counting every group)."""
+    out = str(tmp_path_factory.mktemp("samerun"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512, num_buckets=6)
+    before = ckpt.read_manifest(io).count()
+    s2 = encode_table(spark, transcripts, io, run_id="r1", salt_rows=512, num_buckets=6)
+    assert s2["groups"] == 0 and s2["rows"] == 0
+    assert ckpt.read_manifest(io).count() == before
+
+
+def test_epoch_replay_after_crash_no_duplicates(spark, transcripts, tmp_path_factory):
+    """Streaming-epoch replay: an attempt crashed AFTER its blocks landed
+    but BEFORE the manifest commit. The replay (same logical run_id,
+    resume_scope='run') must re-encode under a fresh attempt id and the
+    crashed attempt's orphan blocks must never become visible."""
+    out = str(tmp_path_factory.mktemp("epochreplay"))
+    io = ParquetDirTableIO(spark, out)
+
+    # build a donor encode in a scratch dir to obtain realistic block rows
+    donor = ParquetDirTableIO(spark, str(tmp_path_factory.mktemp("donor")))
+    encode_table(spark, transcripts, donor, run_id="seed", salt_rows=512, num_buckets=6)
+
+    # crashed attempt: every block row landed under epoch_5~<attempt>, no manifest
+    orphan = donor.read(ckpt.BLOCKS).withColumn("run_id", F.lit("stream_epoch_5~aaaaaaaa"))
+    io.append(orphan, ckpt.BLOCKS, compression="uncompressed")
+
+    # replay of the same logical epoch
+    s = encode_table(
+        spark, transcripts, io, run_id="stream_epoch_5",
+        salt_rows=512, num_buckets=6, resume_scope="run",
+    )
+    assert s["rows"] == transcripts.count()
+    assert s["physical_run_id"].startswith("stream_epoch_5~")
+    assert s["physical_run_id"] != "stream_epoch_5~aaaaaaaa"
+
+    # decode sees exactly one copy of every row
+    decoded = decode_table(spark, io)
+    result = verify_decode(decoded, transcripts)
+    assert result["ok"], result
+
+
+def test_partial_commit_replay_skips_committed_groups(spark, transcripts, tmp_path_factory):
+    """Same logical run_id, second attempt after a partial commit: the
+    prefix-scoped anti-join skips the committed groups even though the
+    attempt suffix differs."""
+    out = str(tmp_path_factory.mktemp("partial"))
+    io = ParquetDirTableIO(spark, out)
+    s1 = encode_table(
+        spark, transcripts, io, run_id="ep1", salt_rows=512,
+        num_buckets=6, max_groups=3, resume_scope="run",
+    )
+    s2 = encode_table(
+        spark, transcripts, io, run_id="ep1", salt_rows=512,
+        num_buckets=6, resume_scope="run",
+    )
+    assert s1["groups"] == 3
+    manifest = ckpt.read_manifest(io)
+    assert manifest.count() == manifest.select("bucket", "salt").distinct().count()
+    assert s1["rows"] + s2["rows"] == transcripts.count()
+    decoded = decode_table(spark, io)
+    assert verify_decode(decoded, transcripts)["ok"]
+
+
+def test_run_id_rejects_reserved_separator(spark, transcripts, tmp_path_factory):
+    io = ParquetDirTableIO(spark, str(tmp_path_factory.mktemp("badid")))
+    with pytest.raises(ValueError, match="~"):
+        encode_table(spark, transcripts, io, run_id="bad~id", num_buckets=2)
