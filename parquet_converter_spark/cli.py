@@ -38,14 +38,28 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--convs", type=int, default=200)
     sp.add_argument("--seed", type=int, default=42)
 
+    _codec_choices = ["auto", "plain", "dict", "rle", "forbp", "delta", "dtrans", "wdict", "fsst"]
     ep = sub.add_parser("encode", help="encode a transcript table into blocks+manifest")
     ep.add_argument("--input", required=True, help="parquet dir of transcripts")
     ep.add_argument("--out", required=True, help="engine table root")
-    ep.add_argument("--codec", default="auto", choices=["auto", "plain", "dict", "rle", "forbp", "delta", "fsst"])
-    ep.add_argument("--salt-rows", type=int, default=65_536)
+    # knob defaults are None sentinels: file config < PCS_* env < explicit flag
+    ep.add_argument("--config", default=None, help="JSON/YAML EngineConfig file (reference --config)")
+    ep.add_argument("--save-config", default=None, help="write the effective config JSON here")
+    ep.add_argument("--codec", default=None, choices=_codec_choices)
+    ep.add_argument(
+        "--codec-cols", default=None,
+        help="per-column codec overrides, e.g. 'text=fsst,ts=delta' (reference per-column dtypes)",
+    )
+    ep.add_argument("--salt-rows", type=int, default=None)
+    ep.add_argument("--chunk-rows", type=int, default=None)
+    ep.add_argument("--num-buckets", type=int, default=None)
     ep.add_argument("--run-id", default=None)
     ep.add_argument("--max-groups", type=int, default=None)
     ep.add_argument("--no-resume", action="store_true")
+
+    cp = sub.add_parser("config", help="show or save the effective engine config")
+    cp.add_argument("--config", default=None, help="base config file to load")
+    cp.add_argument("--save", default=None, help="write effective config JSON here")
 
     dp = sub.add_parser("decode", help="decode committed blocks back to a transcript table")
     dp.add_argument("--out", required=True)
@@ -78,9 +92,51 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"written": args.out, "rows": n}))
         return 0
 
+    if args.cmd == "config":
+        import dataclasses
+
+        from .config import EngineConfig
+
+        cfg = EngineConfig.load(args.config)
+        if args.save:
+            cfg.save(args.save)
+        print(json.dumps(dataclasses.asdict(cfg)))
+        return 0
+
     if args.cmd == "encode":
+        from .config import EngineConfig
         from .encode_job import encode_table
-        from .schema import TRANSCRIPT_SCHEMA
+        from .schema import ENCODED_COLUMNS, TRANSCRIPT_SCHEMA
+
+        # precedence: config file < PCS_* env (inside load) < explicit flag
+        cfg = EngineConfig.load(args.config)
+        if args.codec is not None:
+            cfg.codec = args.codec
+        if args.salt_rows is not None:
+            cfg.salt_rows = args.salt_rows
+        if args.chunk_rows is not None:
+            cfg.chunk_rows = args.chunk_rows
+        if args.num_buckets is not None:
+            cfg.num_buckets = args.num_buckets
+        if args.no_resume:
+            cfg.resume = False
+        cfg.validate()
+        if args.save_config:
+            cfg.save(args.save_config)
+
+        codec: str | dict = cfg.codec
+        if args.codec_cols:
+            overrides = {}
+            for pair in args.codec_cols.split(","):
+                col, _, name = pair.partition("=")
+                col, name = col.strip(), name.strip()
+                if col not in ENCODED_COLUMNS or name not in _codec_choices:
+                    raise SystemExit(
+                        f"--codec-cols: unknown column/codec {pair!r} "
+                        f"(columns {sorted(ENCODED_COLUMNS)}, codecs {_codec_choices})"
+                    )
+                overrides[col] = name
+            codec = {c: overrides.get(c, cfg.codec) for c in ENCODED_COLUMNS}
 
         df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(args.input)
         summary = encode_table(
@@ -88,9 +144,11 @@ def main(argv: list[str] | None = None) -> int:
             df,
             _io(spark, args.out),
             run_id=args.run_id,
-            codec=args.codec,
-            salt_rows=args.salt_rows,
-            resume=not args.no_resume,
+            codec=codec,
+            salt_rows=cfg.salt_rows,
+            chunk_rows=cfg.chunk_rows,
+            num_buckets=cfg.num_buckets,
+            resume=cfg.resume,
             max_groups=args.max_groups,
         )
         print(json.dumps(summary))

@@ -20,7 +20,7 @@ _ENV_PREFIX = "PCS_"
 
 @dataclasses.dataclass
 class EngineConfig:
-    codec: str = "auto"                 # auto | plain | dict | rle | forbp | delta | wdict | fsst
+    codec: str = "auto"                 # auto | plain | dict | rle | forbp | delta | dtrans | wdict | fsst
     salt_rows: int = 65_536             # turn_idx salting block (skew bound)
     chunk_rows: int = 65_536            # rows per encoded block
     num_buckets: int | None = None      # None → planned from row count
@@ -29,7 +29,7 @@ class EngineConfig:
     parquet_compression: str = "snappy" # reference default (config.py:175)
     dt_formats: list[str] = dataclasses.field(default_factory=list)
 
-    _CODECS = {"auto", "plain", "dict", "rle", "forbp", "delta", "wdict", "fsst"}
+    _CODECS = {"auto", "plain", "dict", "rle", "forbp", "delta", "dtrans", "wdict", "fsst"}
 
     def validate(self) -> "EngineConfig":
         if self.codec not in self._CODECS:

@@ -61,19 +61,48 @@ class ParquetDirTableIO:
         df.write.mode("overwrite").option("compression", compression).parquet(self.path(name))
 
 
+def catalog_configured(spark: SparkSession, catalog: str) -> bool:
+    """A jar on the classpath is not enough — the session must actually
+    define ``spark.sql.catalog.<name>`` or every read/write fails at
+    first use. Check the conf, not the classpath."""
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+    except Exception:
+        return False
+
+
+def namespace_for_root(root: str) -> str:
+    """Derive a distinct Iceberg namespace from a table root so two
+    different ``--out`` dirs never alias to the same catalog tables."""
+    import re
+    import zlib
+
+    base = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(root)) or "root")
+    crc = zlib.crc32(os.path.abspath(root).encode()) & 0xFFFFFFFF
+    return f"db_{base}_{crc:08x}"
+
+
 class IcebergTableIO:
     """Iceberg catalog tables (requires iceberg-spark-runtime on the
     classpath — not present in this sandbox; exercised on a real
-    cluster via --packages org.apache.iceberg:iceberg-spark-runtime)."""
+    cluster via --packages org.apache.iceberg:iceberg-spark-runtime).
+
+    The namespace is derived from the table root (``namespace_for_root``)
+    unless given explicitly, so distinct roots map to distinct tables."""
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str):
         if not iceberg_available(spark):
             raise RuntimeError(
                 "Iceberg runtime jar not on classpath; use ParquetDirTableIO"
             )
+        if not catalog_configured(spark, catalog):
+            raise RuntimeError(
+                f"spark.sql.catalog.{catalog} is not configured in this session"
+            )
         self.spark = spark
         self.catalog = catalog
         self.namespace = namespace
+        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
 
     def _ident(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
@@ -91,11 +120,30 @@ class IcebergTableIO:
         df.writeTo(self._ident(name)).createOrReplace()
 
 
+#: conventional catalog name for auto-selected Iceberg roots
+DEFAULT_CATALOG = "engine_cat"
+
+
 def open_tableio(spark: SparkSession, root: str):
-    """Pick Iceberg if its runtime is on the classpath, else parquet-dir."""
-    if iceberg_available(spark):  # pragma: no cover - jar absent in sandbox
-        try:
-            return IcebergTableIO(spark, "engine_cat", "db")
-        except Exception:
-            pass
+    """Resolve a table root to a TableIO.
+
+    - ``iceberg://<catalog>/<namespace>`` selects Iceberg explicitly
+      (raises if the jar or the catalog conf is missing — an explicit
+      ask must not silently fall back to a filesystem dir).
+    - A filesystem root upgrades to Iceberg only when BOTH the runtime
+      jar is present AND ``spark.sql.catalog.engine_cat`` is configured;
+      the namespace is derived from the root so distinct roots never
+      alias. Otherwise: parquet-dir tables.
+    """
+    if root.startswith("iceberg://"):
+        rest = root[len("iceberg://"):].strip("/")
+        catalog, _, namespace = rest.partition("/")
+        if not catalog or not namespace or "/" in namespace:
+            raise ValueError(
+                f"bad iceberg root {root!r}; expected iceberg://<catalog>/<namespace>"
+            )
+        return IcebergTableIO(spark, catalog, namespace)
+    if iceberg_available(spark) and catalog_configured(spark, DEFAULT_CATALOG):
+        # pragma: no cover - jar absent in sandbox
+        return IcebergTableIO(spark, DEFAULT_CATALOG, namespace_for_root(root))
     return ParquetDirTableIO(spark, root)
