@@ -118,25 +118,37 @@ def read_txt_regex(
     header: bool = True,
 ) -> DataFrame:
     """S2 fallback — regex-delimited lines (reference pandas path uses
-    sep="\\s+", parser.py:108-151): spark.read.text + split. All values
-    come out as strings; feed through functions.casts for typing."""
-    lines = spark.read.text(path)
-    parts = F.split(F.col("value"), pattern)
+    sep="\\s+", parser.py:108-151): line scan + split. All values come
+    out as strings; feed through functions.casts for typing.
+
+    Header removal is POSITIONAL and per-file: the lines are read
+    through Spark's CSV reader (quote handling off, a non-occurring
+    separator) whose header=true drops the first line of EVERY file by
+    file offset — so a body row whose text equals the header survives,
+    and multi-file globs lose each file's own header, not just one.
+    (Blank lines are skipped by the CSV line reader — acceptable for a
+    whitespace-delimited format.)"""
+    import re
+
     if header:
-        first = lines.limit(1).collect()[0][0]
-        import re
-
+        first = spark.read.text(path).limit(1).collect()[0][0]
         names = column_names or re.split(pattern, first.strip())
-        body = lines.where(F.col("value") != first)
+        body = (
+            spark.read.option("header", "true")
+            .option("sep", "\x01")      # never occurs in text lines
+            .option("quote", "")        # verbatim lines, no quote stripping
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(path)
+            .toDF("value")
+        )
     else:
-        n_cols = len(column_names or [])
         names = column_names or []
-        body = lines
+        body = spark.read.text(path)
         if not names:
-            first = lines.limit(1).collect()[0][0]
-            import re
-
+            first = spark.read.text(path).limit(1).collect()[0][0]
             names = [f"col{i}" for i in range(len(re.split(pattern, first.strip())))]
+    parts = F.split(F.col("value"), pattern)
     return body.select(
         *[F.trim(parts.getItem(i)).alias(n) for i, n in enumerate(names)]
     )
@@ -150,20 +162,33 @@ def _read_delimited_with_skip(
     two-phase typed parse as read_csv.
 
     Head/footer trims are per-FILE semantics (reference
-    parser.py:97-98), so this path is single-file by construction; the
-    row_number window over the line index is the documented SURVEY.md
-    §2.2 P3 mapping ("limit + anti-range")."""
+    parser.py:97-98), so this path ENFORCES single-file input (a
+    multi-file glob raises — trimming N heads/tails across files is
+    undefined) and reads that file as one partition so the line index
+    is read order by contract, not split-packing luck. A >16MB skip
+    file serializes through one task — the price of per-file positional
+    semantics, same as the reference's single-process read."""
     import re as _re
 
     from pyspark.sql.window import Window
 
+    lines = spark.read.text(path).select("value", F.input_file_name().alias("_f"))
+    guard = lines.agg(
+        F.count("*").alias("n"), F.countDistinct("_f").alias("n_files")
+    ).collect()[0]
+    if guard["n_files"] > 1:
+        raise ValueError(
+            f"skip_rows/skip_footer are per-file semantics; {path!r} matched "
+            f"{guard['n_files']} files — point at a single file"
+        )
     w = Window.orderBy("_idx")
     idxed = (
-        spark.read.text(path)
+        lines.drop("_f")
+        .coalesce(1)  # single partition → monotonic id == line order
         .withColumn("_idx", F.monotonically_increasing_id())
         .withColumn("_rn", F.row_number().over(w))
     )
-    total = idxed.count()
+    total = guard["n"]
     lo = skip_rows + (1 if header else 0)
     hi = total - skip_footer
     names = column_names
@@ -207,25 +232,34 @@ def sampled_schema(
     the schema for pinning (reference converter.py:453-511 → :573-574).
 
     Spark's inferSchema reads the whole file; this keeps the
-    reference's bounded-sample discipline by inferring over a one-file
-    prefix written to a temp location when the input is large. For the
-    common case we rely on Spark reading only what it needs for
-    ``limit(sample_rows)``.
+    reference's bounded-sample discipline: the first ``sample_rows``
+    lines (an early-stopping limit over the text scan — no RDD) are
+    written to a temp prefix file, and full CSV inference runs on the
+    prefix only. Known limit (documented): records with QUOTED EMBEDDED
+    NEWLINES span text lines, so the prefix may cut one mid-record —
+    pass an explicit schema (or use the multiLine full read) for such
+    files, exactly as the reference requires pandas ``engine='python'``
+    there.
     """
-    # bounded probe: only the first sample_rows lines ever get parsed
-    # (spark.read.text + limit stops the scan early; the lines dataset
-    # is then re-parsed as CSV with full inference). This is the
-    # reference's n_rows=sample_rows eager read, distributed.
+    import shutil
+    import tempfile
+
     head = sample_rows + (1 if header else 0)
-    lines = spark.read.text(path).limit(head)
-    probe = (
-        spark.read.option("sep", delimiter)
-        .option("header", str(header).lower())
-        .option("nullValue", null_value)
-        .option("inferSchema", "true")
-        .csv(lines.rdd.map(lambda r: r[0]))
-    )
-    return probe.schema
+    tmp = tempfile.mkdtemp(prefix="pcs_schema_probe_")
+    try:
+        # limit() plans a single output partition → one prefix file in
+        # read order, so the header stays first
+        spark.read.text(path).limit(head).coalesce(1).write.mode("overwrite").text(tmp)
+        probe = (
+            spark.read.option("sep", delimiter)
+            .option("header", str(header).lower())
+            .option("nullValue", null_value)
+            .option("inferSchema", "true")
+            .csv(tmp)
+        )
+        return probe.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:

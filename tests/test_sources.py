@@ -154,3 +154,55 @@ def test_discover_tables(spark, tmp_path):
     shutil.copy(src, tmp_path / "r2.parquet")
     found = readers.discover_tables(spark, str(tmp_path))
     assert len(found) == 2
+
+
+def test_txt_regex_header_collision_survives(spark, tmp_path):
+    """A body row textually equal to the header must NOT be dropped
+    (the old filter removed every line == header)."""
+    from parquet_converter_spark.sources.readers import read_txt_regex
+
+    p = tmp_path / "h.txt"
+    p.write_text("a b c\n1 2 3\na b c\n4 5 6\n")
+    df = read_txt_regex(spark, str(p), pattern=r"\s+")
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 3
+    assert ("a", "b", "c") in rows  # the colliding body row survives
+
+
+def test_txt_regex_multifile_drops_every_header(spark, tmp_path):
+    from parquet_converter_spark.sources.readers import read_txt_regex
+
+    (tmp_path / "f1.txt").write_text("a b\n1 2\n")
+    (tmp_path / "f2.txt").write_text("a b\n3 4\n")
+    df = read_txt_regex(spark, str(tmp_path / "*.txt"), pattern=r"\s+")
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [("1", "2"), ("3", "4")]  # both files' headers dropped
+
+
+def test_skip_footer_rejects_multifile_glob(spark, tmp_path):
+    from parquet_converter_spark.sources.readers import read_csv
+
+    (tmp_path / "f1.csv").write_text("a,b\n1,2\nfooter\n")
+    (tmp_path / "f2.csv").write_text("a,b\n3,4\nfooter\n")
+    with pytest.raises(ValueError, match="per-file"):
+        read_csv(spark, str(tmp_path / "*.csv"), skip_footer=1).collect()
+
+
+def test_sampled_schema_bounded_and_rdd_free(spark, tmp_path):
+    import inspect
+
+    from parquet_converter_spark.sources import readers
+    from parquet_converter_spark.sources.readers import sampled_schema
+
+    # the probe is a DataFrame program, not an RDD detour
+    assert ".rdd" not in inspect.getsource(readers.sampled_schema)
+
+    p = tmp_path / "big.csv"
+    lines = ["x,y,z"]
+    lines += [f"{i},{i * 1.5},name{i}" for i in range(500)]
+    lines += ["oops,not_a_number_only_past_sample,zzz"] * 3
+    p.write_text("\n".join(lines) + "\n")
+    schema = sampled_schema(spark, str(p), sample_rows=100)
+    kinds = {f.name: f.dataType.simpleString() for f in schema.fields}
+    # inference saw only the clean prefix: x stays integral, y double
+    assert kinds["x"] == "int" and kinds["y"] == "double" and kinds["z"] == "string"
