@@ -73,8 +73,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             failures.append(name)
             continue
         if name not in oracles:
+            # rows-only queries have no SQL oracle (seeded-hash ops DuckDB
+            # can't express) — each is independently checked by a
+            # known-answer pytest instead (tests/test_known_answers.py)
             sh, sn, sc = table_hash(scols, srows)
-            print(f"rows  {name:28s} rows={sn:6d} hash={sh} (rows-only) {time.time()-t0:.1f}s")
+            print(
+                f"rows  {name:28s} rows={sn:6d} hash={sh} "
+                f"(rows-only; known-answer tested) {time.time()-t0:.1f}s"
+            )
             continue
         try:
             rel = con.sql(oracles[name])

@@ -31,6 +31,9 @@ def _io(spark, out: str):
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="parquet_converter_spark")
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--log-level", default="WARNING", help="console log level (stderr)")
+    p.add_argument("--log-file", default=None, help="also log to this file")
+    p.add_argument("--verbose", action="store_true", help="console logs at DEBUG")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("synth", help="write a deterministic synthetic transcript table")
@@ -80,8 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--json", dest="json_out", default=None, help="also write JSON report")
 
     args = p.parse_args(argv)
+    from .logutil import setup_logging
+
+    log = setup_logging(args.log_level, args.log_file, args.verbose)
     spark = get_spark(app=f"pcs-{args.cmd}", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
+    log.info("command=%s master=%s", args.cmd, args.master or "default")
 
     if args.cmd == "synth":
         from .synth import synth_distributed
@@ -150,6 +157,23 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=cfg.num_buckets,
             resume=cfg.resume,
             max_groups=args.max_groups,
+        )
+        from .logutil import format_stats_table
+
+        log.info(
+            "encode summary:\n%s",
+            format_stats_table(
+                [
+                    {
+                        "run_id": summary["run_id"],
+                        "groups": summary["groups"],
+                        "errors": summary["errors"],
+                        "rows": summary["rows"],
+                        "encoded_bytes": summary["encoded_bytes"],
+                        "status": "Success" if not summary["errors"] else "Partial",
+                    }
+                ]
+            ),
         )
         print(json.dumps(summary))
         return 0

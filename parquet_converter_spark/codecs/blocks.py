@@ -239,14 +239,21 @@ def choose_codec(canonical, dtype: str, sample_n: int = 1024) -> str:
                 continue
             _, wrapped = _maybe_compress(payload)
             sizes[name] = len(wrapped) * scale
-        # FSST on its own smaller sample (regex scan is Python-bound)
-        f_sample, f_scale = _str_sample(lengths, data, sample_n, 32 * 1024)
-        try:
-            payload = _codec_encode("fsst", dtype, f_sample)
-            _, wrapped = _maybe_compress(payload)
-            sizes["fsst"] = len(wrapped) * f_scale
-        except Exception:
-            pass
+        # FSST on its own smaller sample (symbol-table training is the
+        # single most expensive probe — ~90% of selector cost when it
+        # runs). Cardinality screen mirrors the dict/rle one, from the
+        # other side: below ~50% distinct, dict(+zstd) pays for each
+        # distinct string once and the zstd wrap already captures
+        # cross-string substructure, so FSST cannot win — skip its
+        # sample entirely on such columns (role/tool/template-like).
+        if uniq_ratio >= 0.5:
+            f_sample, f_scale = _str_sample(lengths, data, sample_n, 32 * 1024)
+            try:
+                payload = _codec_encode("fsst", dtype, f_sample)
+                _, wrapped = _maybe_compress(payload)
+                sizes["fsst"] = len(wrapped) * f_scale
+            except Exception:
+                pass
         if not sizes:
             return "plain"
         best = min(sizes, key=sizes.get)

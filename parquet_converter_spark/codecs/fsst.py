@@ -181,27 +181,46 @@ def compress_vectorized(data: bytes, symbols: list[bytes]) -> bytes:
                 best_len[su] = L
                 best_code[su] = code
 
-    # 3. EXACT greedy tokenization via pointer-doubling reachability:
-    # jump[i] = i + best_len[i] (match) or i + 1 (literal). The greedy
-    # token starts are exactly the orbit of 0 under jump; mark it in
-    # ceil(log2 n) vectorized rounds (reach |= reach∘jump_k; jump_k
-    # doubles each round). No per-match Python.
-    jump = np.arange(1, n + 2, dtype=np.int64)
+    # 3. EXACT greedy tokenization, pointer-doubled over the MATCH
+    # domain: walking greedily, every byte between taken matches is a
+    # literal, so from position p the next taken match is simply the
+    # first match position ≥ p — i.e. succ[k] = searchsorted(mp,
+    # mp[k] + len_k) over match indices only. The taken set is the
+    # orbit of match 0 under succ, marked in ceil(log2 M) vectorized
+    # rounds (M = #match positions ≪ n bytes — this is what makes the
+    # kernel competitive with the C regex scan; the old byte-domain
+    # doubling cost ~log2(n) passes over all n bytes).
     has_m = best_len >= 2
     mp = np.flatnonzero(has_m)
-    jump[mp] = mp + best_len[mp]
-    np.minimum(jump, n, out=jump)
-    reach = np.zeros(n + 1, dtype=bool)
-    reach[0] = True
-    j = jump
-    steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
-    for _ in range(steps):
-        reach[j[reach]] = True
-        j = j[j]
+    M = mp.size
+    if M:
+        ml = best_len[mp].astype(np.int64)
+        succ = np.append(np.searchsorted(mp, mp + ml), M).astype(np.int64)
+        taken = np.zeros(M + 1, dtype=bool)
+        taken[0] = True  # all bytes before mp[0] are literals; mp[0] is taken
+        s = succ
+        for _ in range(max(1, int(np.ceil(np.log2(max(M, 2)))) + 1)):
+            taken[s[taken]] = True
+            s = s[s]
+        tm = mp[taken[:M]]
+        tl = ml[taken[:M]]
+    else:
+        tm = np.empty(0, dtype=np.int64)
+        tl = np.empty(0, dtype=np.int64)
 
-    # 4. emission — token starts in position order (already sorted)
-    starts = np.flatnonzero(reach[:n])
-    is_m = has_m[starts]
+    # literal token starts = the gaps between consecutive taken matches
+    gap_starts = np.concatenate([[0], tm + tl]).astype(np.int64)
+    gap_ends = np.concatenate([tm, [n]]).astype(np.int64)
+    gl = gap_ends - gap_starts
+    lit_pos = np.repeat(gap_starts, gl) + _within(gl)
+
+    # 4. emission — merge taken-match and literal starts (both sorted)
+    n_tok = tm.size + lit_pos.size
+    is_m = np.zeros(n_tok, dtype=bool)
+    is_m[np.searchsorted(lit_pos, tm) + np.arange(tm.size)] = True
+    starts = np.empty(n_tok, dtype=np.int64)
+    starts[is_m] = tm
+    starts[~is_m] = lit_pos
     lit_bytes = arr[starts]
     lit_codes = single_code[lit_bytes]
     is_single = (~is_m) & (lit_codes >= 0)

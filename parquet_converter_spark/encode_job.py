@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import checkpoint as ckpt
 from .codecs.arrow_blocks import encode_block_arrow
 from .codecs.blocks import block_codec, encode_block
-from .partitioning import DEFAULT_SALT_ROWS, plan_num_buckets, with_group_keys
+from .partitioning import (
+    DEFAULT_SALT_ROWS,
+    estimate_input_rows,
+    plan_num_buckets,
+    with_group_keys,
+)
 from .schema import BLOCKS_STORED_SCHEMA, COLUMN_DTYPES, ENCODED_COLUMNS
 
 #: rows per encoded chunk — bounds Arrow batch and block sizes
@@ -204,8 +209,10 @@ def encode_table(
     run_id = run_id or f"run_{int(time.time() * 1000):x}"
     phys_run_id = f"{run_id}~{uuid.uuid4().hex[:8]}"
     if num_buckets is None:
-        # cheap planning count: parquet metadata count when df is a scan
-        n_rows = df.count()
+        # planning estimate only — never a full scan of a non-parquet
+        # source (estimate_input_rows: parquet metadata count, else
+        # bytes/avg-line-length)
+        n_rows = estimate_input_rows(spark, df)
         parallelism = spark.sparkContext.defaultParallelism
         num_buckets = plan_num_buckets(n_rows, salt_rows, parallelism)
 

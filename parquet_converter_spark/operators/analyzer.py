@@ -19,13 +19,15 @@ from pyspark.sql import types as T
 _NUMERIC = (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.ShortType)
 
 
-def analyze_table(df: DataFrame, column_limit: int = 25) -> dict:
+def analyze_table(df: DataFrame, column_limit: int = 25, include_samples: bool = True) -> dict:
     """Fused profile of one table (reference analyzer.py:284-355).
 
     Returns {row_count, columns: {name: {dtype, nulls, uniques, [min,
     max, mean, median, std]}}} computed in ONE aggregate pass plus one
-    small top-5 pass per low-cardinality string column.
-    """
+    small top-5 pass per low-cardinality string column. With
+    ``include_samples`` (reference analyzer.py:324-346) it adds
+    first/last-3 rows under first-column order and a deterministic
+    random-10 sample — each a limit-N job, never a full collect."""
     fields = df.schema.fields[:column_limit]  # P1 column-limit projection
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for f in fields:
@@ -69,6 +71,16 @@ def analyze_table(df: DataFrame, column_limit: int = 25) -> dict:
                 for r in top
             ]
         out["columns"][f.name] = col
+    if include_samples and fields and n:
+        from .profile import head_n, sample_n, tail_n
+
+        cols = [f.name for f in fields]
+        proj = df.select(*cols)
+        order = [cols[0]]
+        key_expr = "concat_ws('|', " + ", ".join(f"cast({c} as string)" for c in cols) + ")"
+        out["first_rows"] = [list(r) for r in head_n(proj, order, 3).collect()]
+        out["last_rows"] = [list(r) for r in tail_n(proj, order, 3).collect()]
+        out["sample_rows"] = [list(r) for r in sample_n(proj, key_expr, 10).collect()]
     return out
 
 
@@ -93,6 +105,12 @@ def format_report(analyses: dict[str, dict]) -> str:
                 lines.append(
                     f"    top: {tv['value']!r} x{tv['count']} ({tv['pct']}%)"
                 )
+        for label, key in (("first", "first_rows"), ("last", "last_rows"), ("sample", "sample_rows")):
+            rows = a.get(key)
+            if rows:
+                lines.append(f"  {label} rows:")
+                for r in rows:
+                    lines.append("    " + " | ".join(str(v) for v in r))
     return "\n".join(lines) + "\n"
 
 

@@ -44,3 +44,37 @@ def plan_num_buckets(n_rows: int, salt_rows: int = DEFAULT_SALT_ROWS, parallelis
     """Target ≈ salt_rows rows per (bucket, salt=0) group, with at least
     2×parallelism buckets so every core has work."""
     return max(2 * parallelism, (n_rows + salt_rows - 1) // salt_rows)
+
+
+def estimate_input_rows(spark, df: DataFrame) -> int:
+    """Planning-only row estimate for bucket sizing — must never pay a
+    full scan of a non-parquet source (at 100 TB a CSV count() doubles
+    the read). Strategy:
+
+    * parquet scan → ``df.count()`` (footer-metadata count, cheap);
+    * file-backed non-parquet scan → total input bytes (filesystem
+      metadata) / average line length from a bounded 1k-line probe of
+      the first file;
+    * in-memory frame (no input files) → ``df.count()`` (already
+      materialized, no extra read).
+
+    Bucket counts only set parallel granularity, so ±2× precision is
+    fine; exactness is not required and not paid for.
+    """
+    files = df.inputFiles()
+    if not files or all(f.endswith(".parquet") for f in files):
+        return df.count()
+    jvm = spark._jvm  # noqa: SLF001 — public Hadoop FS API for file sizes
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    total_bytes = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total_bytes += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    probe = (
+        spark.read.text(files[0])
+        .limit(1024)
+        .agg(F.avg(F.length("value")).alias("b"))
+        .collect()[0]["b"]
+    )
+    avg_line = (probe or 100.0) + 1.0  # +1 newline
+    return max(1, int(total_bytes / avg_line))

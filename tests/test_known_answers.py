@@ -1,0 +1,183 @@
+"""Known-answer tests for the rows-only (no-DuckDB-oracle) queries
+(VERDICT r01 §missing #6): each op's output is recomputed independently
+— in plain Python/numpy, sharing only Spark's xxhash64 primitive where
+the algorithm is defined in terms of it — so `no_oracle` no longer
+means "unchecked"."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_converter_spark.operators import dedup, multimodal, similarity, textstats
+
+MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def _signed64(x: int) -> int:
+    x &= MASK
+    return x - (1 << 64) if x >= 1 << 63 else x
+
+
+def _xxh_single(spark, values: list[str]) -> dict[str, int]:
+    df = spark.createDataFrame([(v,) for v in set(values)], "s string")
+    return {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+
+
+def _xxh_pair(spark, pairs: list[tuple[str, int]]) -> dict[tuple[str, int], int]:
+    df = spark.createDataFrame(list(set(pairs)), "s string, i int")
+    rows = df.select("s", "i", F.xxhash64("s", "i").alias("h")).collect()
+    return {(r["s"], r["i"]): r["h"] for r in rows}
+
+
+def test_simhash_known_answer(spark):
+    """Bit-vote logic recomputed in Python from the per-token hashes."""
+    text = "a b a"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = dedup.simhash(docs).collect()[0]["simhash"]
+
+    toks = text.split()
+    h = _xxh_single(spark, toks)
+    n = len(toks)
+    expected = 0
+    for b in range(64):
+        votes = sum(((h[t] & MASK) >> b) & 1 for t in toks)
+        if 2 * votes >= n:
+            expected |= 1 << b
+    assert got == _signed64(expected)
+
+
+def test_minhash_known_answer(spark):
+    """sig[i] = min over 3-shingles of xxhash64(shingle, i), recomputed
+    directly from the shingle set."""
+    text = "a b c d"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = dedup.minhash_signatures(docs, num_hashes=4).collect()[0]["minhash"]
+
+    shingles = ["a b c", "b c d"]
+    h = _xxh_pair(spark, [(s, i) for s in shingles for i in range(4)])
+    expected = [min(h[(s, i)] for s in shingles) for i in range(4)]
+    assert list(got) == expected
+
+
+def test_lsh_candidate_pairs_known_answer(spark):
+    """Identical docs share every band bucket; unrelated docs share none."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "the quick brown fox jumps over it"),
+            (3, "entirely unrelated words appear in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    assert [(r["a_id"], r["b_id"]) for r in pairs.collect()] == [(1, 2)]
+    verified = dedup.ngram_jaccard(docs, pairs).collect()
+    assert verified[0]["jaccard"] == 1.0
+
+
+def test_doc_fingerprint_normalization_known_answer(spark):
+    docs = spark.createDataFrame(
+        [(1, "  The   CAT sat "), (2, "the cat sat")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(docs).collect()}
+    assert fps[1] == fps[2]
+    direct = _xxh_single(spark, ["the cat sat"])["the cat sat"]
+    assert fps[1] == direct
+
+
+def _vecs():
+    return [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [-1.0, 0.0, 0.0, 0.0]),    # antipode
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+    ]
+
+
+def _np_cos(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_lsh_near_dup_pairs_known_answer(spark):
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<float>")
+    got = similarity.lsh_near_dup_pairs(df, threshold=0.9, dim=4, n_planes=6).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(0, 1)]
+    # float32 storage: compare at the rounding grain the op guarantees
+    expected = round(_np_cos(*[dict(_vecs())[i] for i in (0, 1)]), 6)
+    assert got[0]["cos_sim"] == pytest.approx(expected, abs=2e-6)
+
+
+def test_lsh_ann_topk_known_answer(spark):
+    df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<float>")
+    got = similarity.ann_topk(df, [1.0, 0.0, 0.0, 0.0], dim=4, k=3, n_planes=6).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 0 and got[0]["cos_sim"] == 1.0
+    assert ids[1] == 1  # the near-dup ranks second
+    assert 2 not in ids  # the antipode never shares the query's bucket
+
+
+def test_media_stats_known_answer(spark):
+    media = multimodal.synth_media(spark, n=9, seed=42)
+    got = {r["kind"]: r for r in multimodal.media_stats(media).collect()}
+    rows = media.select("media_id", "kind", "width", "duration_ms").collect()
+    import collections
+
+    widths = collections.defaultdict(list)
+    durs = collections.defaultdict(list)
+    counts = collections.Counter()
+    for r in rows:
+        counts[r["kind"]] += 1
+        if r["width"] is not None:
+            widths[r["kind"]].append(r["width"])
+        if r["duration_ms"] is not None:
+            durs[r["kind"]].append(r["duration_ms"])
+    assert set(got) == set(counts)
+    for kind in counts:
+        assert got[kind]["n"] == counts[kind]
+        if widths[kind]:
+            assert got[kind]["avg_w"] == pytest.approx(float(np.mean(widths[kind])))
+        if durs[kind]:
+            assert got[kind]["avg_ms"] == pytest.approx(float(np.mean(durs[kind])))
+
+
+def test_media_features_sha256_known_answer(spark):
+    media = multimodal.synth_media(spark, n=6, seed=42)
+    got = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    for r in media.select("media_id", "payload").collect():
+        b = bytes(r["payload"])
+        assert got[r["media_id"]]["sha256"] == hashlib.sha256(b).hexdigest()
+        assert got[r["media_id"]]["payload_bytes"] == len(b)
+
+
+def test_codec_selector_known_answers():
+    """The cost-model selector's picks on canonical shapes are fixed
+    (deterministic sample, deterministic sizes) — pin them."""
+    import pandas as pd
+
+    from parquet_converter_spark.codecs.blocks import decode_block, encode_block
+
+    cases = {
+        "const_int": (pd.Series([7] * 1000), "int64", "forbp", 40),
+        "seq_int": (pd.Series(range(1000)), "int64", "delta", 50),
+        "rand_str": (
+            pd.Series([f"user_{i * 7919 % 997}" for i in range(1000)]),
+            "str",
+            "plain",
+            2000,
+        ),
+    }
+    for name, (s, dtype, want_codec, max_bytes) in cases.items():
+        blob = encode_block(s, dtype, None)
+        out, used = decode_block(blob)
+        assert used == want_codec, name
+        assert len(blob) <= max_bytes, name
+        if dtype == "int64":
+            assert out.astype("int64").tolist() == s.tolist(), name
+        else:
+            assert out.tolist() == s.tolist(), name

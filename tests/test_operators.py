@@ -131,3 +131,21 @@ def test_embedding_compression_parallel_and_stable(spark):
     assert multi["n_vecs"] == single["n_vecs"] == 256
     assert multi["raw_bytes"] == single["raw_bytes"] == 256 * 16 * 4
     assert multi["all_roundtrip_ok"] and single["all_roundtrip_ok"]
+
+
+def test_analyzer_sample_rows(spark):
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "id int, name string"
+    )
+    a = analyzer.analyze_table(df)
+    assert [r[0] for r in a["first_rows"]] == [0, 1, 2]
+    assert [r[0] for r in a["last_rows"]] == [49, 48, 47]
+    assert len(a["sample_rows"]) == 10
+    # deterministic: same sample on re-run
+    b = analyzer.analyze_table(df)
+    assert a["sample_rows"] == b["sample_rows"]
+    text = analyzer.format_report({"t": a})
+    assert "first rows:" in text and "sample rows:" in text
+    # opt-out keeps the single-pass profile only
+    c = analyzer.analyze_table(df, include_samples=False)
+    assert "sample_rows" not in c

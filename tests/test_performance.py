@@ -50,3 +50,58 @@ def test_large_batch_wall_time(spark, transcripts_100k, tmp_path):
     dt = time.time() - t0
     assert decoded_n == transcripts_100k.count()
     assert dt < 60, f"{dt:.1f}s"
+
+
+def test_choose_codec_overhead_floor():
+    """Selector cost must stay well under encode cost (VERDICT r01 #8):
+    choosing on a 64k-row string chunk must take a small fraction of
+    actually encoding it."""
+    import time
+
+    import numpy as np
+
+    from parquet_converter_spark.codecs.blocks import encode_block
+    from parquet_converter_spark.codecs.blocks import choose_codec
+    from parquet_converter_spark.codecs.strutil import strings_to_buf
+    import pandas as pd
+
+    rng = np.random.default_rng(1)
+    frags = [f"turn text body {i % 211} with shared structure" for i in range(64_000)]
+    s = pd.Series(frags)
+    canonical = strings_to_buf(s)
+
+    t0 = time.perf_counter()
+    codec = choose_codec(canonical, "str")
+    t_sel = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    encode_block(s, "str", codec)
+    t_enc = time.perf_counter() - t0
+    # bound generous for VM noise: selection ≤ max(encode, 60ms floor)
+    assert t_sel <= max(t_enc, 0.06), (t_sel, t_enc, codec)
+
+
+def test_fsst_vectorized_kernel_within_regex_budget():
+    """The numpy exact-greedy kernel must stay within ~2.5x of the C
+    regex scan (was ~4x before the match-domain pointer doubling)."""
+    import time
+
+    import numpy as np
+
+    from parquet_converter_spark.codecs import fsst
+
+    rng = np.random.default_rng(0)
+    frags = [f"the user_{i} said hello to conversation {i % 37} at step" for i in range(200)]
+    data = (" ".join(rng.choice(frags, 30000)).encode())[:3_000_000]
+    syms = fsst.build_symbol_table(data[:65536])
+
+    best_re, best_vec = 1e9, 1e9
+    for _ in range(2):  # interleaved best-of-2 (VM noise)
+        t0 = time.perf_counter()
+        out_re = fsst.compress(data, syms)
+        best_re = min(best_re, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out_vec = fsst.compress_vectorized(data, syms)
+        best_vec = min(best_vec, time.perf_counter() - t0)
+    assert fsst.decompress(out_vec, syms) == data
+    assert len(out_vec) <= int(len(out_re) * 1.02)  # same compression quality
+    assert best_vec <= best_re * 2.5 + 0.05, (best_vec, best_re)

@@ -101,3 +101,32 @@ def test_decode_plan_has_no_shuffle(spark, tmp_path):
     body = plan.split("InMemoryTableScan")[0]
     assert "Exchange hashpartitioning(conv_id" not in plan
     assert any(m in plan for m in ("MapInArrow", "MapInPandas", "mapInPandas", "PythonMapInArrow"))
+
+def test_estimate_input_rows_no_full_scan_on_csv(spark, tmp_path, monkeypatch):
+    """Bucket planning over a non-parquet source must not pay a count()
+    over the full input (at 100 TB that doubles the read)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from parquet_converter_spark.partitioning import estimate_input_rows
+
+    p = tmp_path / "src.csv"
+    p.write_text("conv_id,turn_idx\n" + "\n".join(f"c{i},{i}" for i in range(5000)) + "\n")
+    df = spark.read.option("header", "true").csv(str(p))
+
+    def boom(self):
+        raise AssertionError("full count() executed during planning")
+
+    monkeypatch.setattr(ClassicDF, "count", boom)
+    est = estimate_input_rows(spark, df)
+    monkeypatch.undo()
+    assert 1000 <= est <= 25000  # bytes/avg-line ≈ row count within 2-3x
+
+
+def test_estimate_input_rows_parquet_and_memory(spark, tmp_path):
+    from parquet_converter_spark.partitioning import estimate_input_rows
+
+    df_mem = spark.range(123)
+    assert estimate_input_rows(spark, df_mem) == 123
+    pq = str(tmp_path / "t.parquet")
+    spark.range(456).write.parquet(pq)
+    assert estimate_input_rows(spark, spark.read.parquet(pq)) == 456
