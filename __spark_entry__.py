@@ -360,6 +360,17 @@ def _q_lsh_ann_topk(spark, sf):
     return similarity.ann_topk(emb, [float(x) for x in qvec], dim, k=10, n_planes=8)
 
 
+def _q_ivf_ann_topk(spark, sf):
+    """IVF (k-means coarse quantizer) ANN — the inverted-file scale path;
+    rows-only (seeded centroids aren't SQL-expressible), known-answer
+    tested in tests/test_known_answers.py."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_ann_topk(
+        emb, [float(x) for x in qvec], k=10, n_cells=16, n_probe=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.4/§2.5 profiling (A1–A10, L1–L5)
@@ -401,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "lang_id_pred": _q_lang_id_pred,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "embedding_compression": _q_embedding_compression,

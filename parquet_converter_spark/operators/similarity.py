@@ -154,3 +154,99 @@ def ann_topk(
             qsig |= 1 << i
     bucket = df.join(sigs.where(F.col("lsh_bucket") == qsig).select(id_col), id_col)
     return cosine_topk(bucket, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means coarse-quantizer scale path.
+#
+# Train: numpy Lloyd iterations on a bounded deterministic sample
+# (driver-side — centroids are tiny: k × dim floats). Assign: ONE
+# narrow mapInPandas pass, a (batch × dim) @ (dim × k) matmul per Arrow
+# batch — no shuffle, no explode. Query: probe the n_probe nearest
+# cells only; exact cosine re-scores inside the probed cells. At 10^12
+# rows the cell filter replaces the full scan (persist the assignment
+# and partition the table by ivf_cell to get storage-level pruning).
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    k: int = 16,
+    sample_n: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """k-means centroids (L2-normalized → spherical k-means, the right
+    quantizer for cosine) from a deterministic bounded sample."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(x))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T                      # (n, k)
+        assign = np.argmax(sims, axis=1)
+        for j in range(k):
+            sel = x[assign == j]
+            if len(sel):
+                c = sel.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``ivf_cell`` = argmax-cosine centroid per row. One vectorized
+    matmul per Arrow batch; scan-parallel, shuffle-free."""
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cols = df.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", ivf_cell int"
+
+    def assign(it):
+        for pdf in it:
+            v = np.asarray([np.asarray(e, np.float64) for e in pdf[vec_col]])
+            if len(v):
+                v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+                pdf = pdf.copy()
+                pdf["ivf_cell"] = np.argmax(v @ cent.T, axis=1).astype("int32")
+            else:
+                pdf = pdf.assign(ivf_cell=pd.Series([], dtype="int32"))
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema).select(*cols, "ivf_cell")
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    sample_n: int = 4096,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: score only the rows assigned to the query's n_probe
+    nearest centroids. n_probe = n_cells degenerates to exact search."""
+    cent = ivf_train_centroids(df, n_cells, sample_n, seed=seed, vec_col=vec_col, id_col=id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cent @ q))[: min(n_probe, len(cent))].tolist()
+    assigned = ivf_assign(df, cent, vec_col)
+    bucket = assigned.where(F.col("ivf_cell").isin([int(c) for c in probe]))
+    return cosine_topk(bucket, query_vec, k, vec_col, id_col)

@@ -181,3 +181,51 @@ def test_codec_selector_known_answers():
             assert out.astype("int64").tolist() == s.tolist(), name
         else:
             assert out.tolist() == s.tolist(), name
+
+
+def test_ivf_ann_known_answer(spark):
+    """IVF with n_probe=n_cells degenerates to exact search; with
+    n_probe=1 it returns the query's own cluster ranked by cosine."""
+    rng = np.random.default_rng(5)
+    rows = []
+    axes = np.eye(8)[:3]
+    for i in range(90):
+        base = axes[i % 3]
+        v = base + 0.05 * rng.standard_normal(8)
+        rows.append((i, v.astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = axes[0].tolist()
+
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
+    full_probe = [
+        r["vec_id"]
+        for r in similarity.ivf_ann_topk(
+            df, q, k=10, n_cells=3, n_probe=3, sample_n=90
+        ).collect()
+    ]
+    assert full_probe == exact  # degenerate probe-all == exact
+
+    got = similarity.ivf_ann_topk(df, q, k=10, n_cells=3, n_probe=1, sample_n=90).collect()
+    ids = [r["vec_id"] for r in got]
+    assert set(i % 3 for i in ids) == {0}  # only cluster-0 members
+    # ranking inside the probed cell matches numpy exact cosine
+    vecs = dict(rows)
+    np_rank = sorted(
+        (i for i in vecs if i % 3 == 0),
+        key=lambda i: (-_np_cos(vecs[i], q), i),
+    )[:10]
+    assert ids == np_rank
+
+
+def test_ivf_assign_deterministic_and_parallel(spark):
+    rng = np.random.default_rng(6)
+    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.ivf_train_centroids(df, k=4, sample_n=64)
+    a1 = {r["vec_id"]: r["ivf_cell"] for r in similarity.ivf_assign(df, cent).collect()}
+    a2 = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in similarity.ivf_assign(df.repartition(5), cent).collect()
+    }
+    assert a1 == a2  # assignment independent of partitioning
+    assert set(a1.values()) <= set(range(4))

@@ -109,3 +109,61 @@ def test_stream_encode_micro_batches(spark, tmp_path):
     got = decode_conversation(spark, io, conv).count()
     want = src.where(F.col("conv_id") == conv).count()
     assert got == want
+
+
+def test_stateful_conversation_sessions(spark, tmp_path):
+    """applyInPandasWithState: per-conversation state accumulates ACROSS
+    micro-batches (two landing files → the second batch's emitted rows
+    include the first batch's counts)."""
+    from pyspark.sql import functions as F
+
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.streaming.stateful import conversation_sessions
+    from parquet_converter_spark.synth import synth_pandas
+
+    landing = str(tmp_path / "landing")
+    pdf = synth_pandas(n_convs=6, seed=13)
+    src = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    # split each conversation's turns across two files → two batches
+    src.where(F.col("turn_idx") % 2 == 0).coalesce(1).write.mode("append").parquet(landing)
+    src.where(F.col("turn_idx") % 2 == 1).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .parquet(landing)
+    )
+    q = (
+        conversation_sessions(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert rows, "stateful op emitted nothing"
+    # the LAST update per conversation must carry the FULL turn count —
+    # proof that state crossed the batch boundary
+    last = {}
+    for r in rows:
+        last[r["conv_id"]] = max(last.get(r["conv_id"], 0), r["turns"])
+    want = {r["conv_id"]: r["cnt"] for r in
+            src.groupBy("conv_id").agg(F.count("*").alias("cnt")).collect()}
+    assert last == want
+    # role split is exact too
+    by_conv = {}
+    for r in rows:
+        if r["turns"] == want[r["conv_id"]]:
+            by_conv[r["conv_id"]] = (r["user_turns"], r["assistant_turns"])
+    want_roles = {
+        r["conv_id"]: (r["u"], r["a"])
+        for r in src.groupBy("conv_id").agg(
+            F.sum((F.col("role") == "user").cast("long")).alias("u"),
+            F.sum((F.col("role") == "assistant").cast("long")).alias("a"),
+        ).collect()
+    }
+    assert by_conv == want_roles
