@@ -98,6 +98,8 @@ def main() -> int:
             "token_count_stats",
             "minhash_dup_candidates",
             "simhash_fingerprints",
+            "embedding_compression",
+            "ivf_ann_topk",
         ]:
             t0 = time.time()
             rows = q[name](spark, sf_dir).collect()

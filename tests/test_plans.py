@@ -130,3 +130,20 @@ def test_estimate_input_rows_parquet_and_memory(spark, tmp_path):
     pq = str(tmp_path / "t.parquet")
     spark.range(456).write.parquet(pq)
     assert estimate_input_rows(spark, spark.read.parquet(pq)) == 456
+
+
+def test_ivf_assign_and_embcodec_are_shuffle_free(spark):
+    """Scan-parallel operators must not Exchange: IVF cell assignment is
+    one matmul per Arrow batch; codec metrics emit one row per batch."""
+    import numpy as np
+
+    from parquet_converter_spark.operators import embcodec, similarity
+
+    rng = np.random.default_rng(1)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(128)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.ivf_train_centroids(df, k=4, sample_n=64)
+    plan_assign = similarity.ivf_assign(df, cent)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_assign
+    plan_emb = embcodec.per_batch_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_emb
