@@ -69,6 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--target", required=True)
     dp.add_argument("--columns", default=None, help="comma-separated column subset (pruned read)")
     dp.add_argument("--conv-id", default=None, help="decode one conversation (bucket-pruned point lookup)")
+    dp.add_argument("--on-error", default="raise", choices=["raise", "skip"],
+                    help="skip = per-block error isolation (corrupt blocks drop, job survives)")
 
     vp = sub.add_parser("verify", help="bit-identical check: decode vs source")
     vp.add_argument("--input", required=True)
@@ -186,7 +188,7 @@ def main(argv: list[str] | None = None) -> int:
             decoded = decode_conversation(spark, io, args.conv_id)
         else:
             cols = args.columns.split(",") if args.columns else None
-            decoded = decode_table(spark, io, columns=cols)
+            decoded = decode_table(spark, io, columns=cols, on_error=args.on_error)
         decoded.write.mode("overwrite").parquet(args.target)
         print(json.dumps({"written": args.target, "rows": spark.read.parquet(args.target).count()}))
         return 0

@@ -25,6 +25,7 @@ def decode_table(
     buckets: list[int] | None = None,
     columns: list[str] | None = None,
     arrow_native: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Read committed blocks and reconstruct the transcript DataFrame.
 
@@ -34,9 +35,16 @@ def decode_table(
     ``columns`` projects a subset of columns — only those columns'
     binary blocks are READ at all (parquet column pruning on the
     blocks table), the columnar payoff of per-column blocks.
+    ``on_error='skip'`` is the decode analog of encode's per-group
+    error isolation (reference ignore_errors, converter.py:226-233): a
+    corrupt block drops that block row's rows (ALL its columns — never
+    misaligned partial columns) instead of failing the job; use
+    ``corrupt_blocks`` to locate and diagnose the damage.
     """
     import pyspark.sql.types as T
 
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     cols = list(columns) if columns is not None else list(ENCODED_COLUMNS)
     unknown = set(cols) - set(ENCODED_COLUMNS)
     if unknown:
@@ -46,25 +54,31 @@ def decode_table(
     if buckets is not None:
         blocks = blocks.where(blocks.bucket.isin([int(b) for b in buckets]))
     blocks = blocks.select(*[f"{c}_blk" for c in cols])
+    skip = on_error == "skip"
     if arrow_native:
-        return blocks.mapInArrow(_decode_batches_arrow_cols(cols), schema=out_schema)
-    return blocks.mapInPandas(_decode_batches_cols(cols), schema=out_schema)
+        return blocks.mapInArrow(_decode_batches_arrow_cols(cols, skip), schema=out_schema)
+    return blocks.mapInPandas(_decode_batches_cols(cols, skip), schema=out_schema)
 
 
-def _decode_batches_cols(cols: list[str]):
+def _decode_batches_cols(cols: list[str], skip_errors: bool = False):
     def fn(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             for _, row in pdf.iterrows():
                 out = {}
-                for col in cols:
-                    series, _codec = decode_block(bytes(row[f"{col}_blk"]))
-                    out[col] = series.reset_index(drop=True)
+                try:
+                    for col in cols:
+                        series, _codec = decode_block(bytes(row[f"{col}_blk"]))
+                        out[col] = series.reset_index(drop=True)
+                except Exception:
+                    if skip_errors:
+                        continue
+                    raise
                 yield pd.DataFrame(out)
 
     return fn
 
 
-def _decode_batches_arrow_cols(cols: list[str]):
+def _decode_batches_arrow_cols(cols: list[str], skip_errors: bool = False):
     def fn(iterator):
         import pyarrow as pa
 
@@ -75,14 +89,54 @@ def _decode_batches_arrow_cols(cols: list[str]):
             d = batch.to_pydict()
             for i in range(batch.num_rows):
                 arrays = []
-                for col in cols:
-                    arr, _codec = decode_block_arrow(bytes(d[f"{col}_blk"][i]))
-                    if COLUMN_DTYPES[col] == "str":
-                        arr = arr.cast(pa.string())
-                    arrays.append(arr)
+                try:
+                    for col in cols:
+                        arr, _codec = decode_block_arrow(bytes(d[f"{col}_blk"][i]))
+                        if COLUMN_DTYPES[col] == "str":
+                            arr = arr.cast(pa.string())
+                        arrays.append(arr)
+                except Exception:
+                    if skip_errors:
+                        continue
+                    raise
                 yield pa.RecordBatch.from_arrays(arrays, names=cols)
 
     return fn
+
+
+def corrupt_blocks(spark: SparkSession, io) -> DataFrame:
+    """Diagnostic scan: try-decode every committed block and report the
+    failures as (bucket, salt, chunk, column, error) rows. Distributed
+    mapInPandas, one pass over the blocks table; empty result = clean."""
+
+    def probe(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            rows = []
+            for _, row in pdf.iterrows():
+                for col in ENCODED_COLUMNS:
+                    try:
+                        decode_block(bytes(row[f"{col}_blk"]))
+                    except Exception as exc:  # noqa: BLE001 — diagnostic surface
+                        rows.append(
+                            {
+                                "bucket": int(row["bucket"]),
+                                "salt": int(row["salt"]),
+                                "chunk": int(row["chunk"]),
+                                "column": col,
+                                "error": repr(exc)[:500],
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["bucket", "salt", "chunk", "column", "error"],
+            )
+
+    blocks = ckpt.committed_blocks(io).select(
+        "bucket", "salt", "chunk", *[f"{c}_blk" for c in ENCODED_COLUMNS]
+    )
+    return blocks.mapInPandas(
+        probe, "bucket int, salt long, chunk int, column string, error string"
+    )
 
 
 def decode_conversation(spark: SparkSession, io, conv_id: str, arrow_native: bool = True) -> DataFrame:

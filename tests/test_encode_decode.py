@@ -197,3 +197,49 @@ def test_metrics_table_has_codec_lineage(spark, transcripts, tmp_path_factory):
     codecs = {r["codec"] for r in metrics.select("codec").distinct().collect()}
     # the auto-selector must actually be exercising multiple codecs
     assert len(codecs) >= 3, codecs
+
+
+def test_decode_error_isolation_and_corrupt_scan(spark, transcripts, tmp_path):
+    """A corrupt block must not kill the decode when on_error='skip':
+    the block's rows (all columns) drop together, everything else
+    decodes, and corrupt_blocks pinpoints the damage."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parquet_converter_spark import checkpoint as ckpt
+    from parquet_converter_spark.decode_job import corrupt_blocks
+
+    out = str(tmp_path / "t")
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512, num_buckets=6)
+
+    # tamper: truncate one block's text payload on disk
+    pdf = io.read(ckpt.BLOCKS).toPandas()
+    victim = pdf.index[0]
+    n_lost = int(pdf.loc[victim, "n_rows"])
+    pdf.loc[victim, "text_blk"] = bytes(pdf.loc[victim, "text_blk"])[:7]
+    io.overwrite(spark.createDataFrame(pdf, schema=io.read(ckpt.BLOCKS).schema), ckpt.BLOCKS,
+                 compression="uncompressed")
+
+    # default: loud failure
+    with pytest.raises(Exception):
+        decode_table(spark, io).count()
+
+    # skip: everything else decodes; no partial/misaligned columns
+    decoded = decode_table(spark, io, on_error="skip")
+    assert decoded.count() == transcripts.count() - n_lost
+    assert decoded.where(F.col("conv_id").isNull()).count() == 0
+
+    # both UDF paths agree
+    decoded_p = decode_table(spark, io, on_error="skip", arrow_native=False)
+    assert decoded_p.count() == transcripts.count() - n_lost
+
+    # diagnostic scan names the exact block and column
+    bad = corrupt_blocks(spark, io).collect()
+    assert len(bad) == 1
+    assert bad[0]["column"] == "text"
+    assert (bad[0]["bucket"], bad[0]["salt"], bad[0]["chunk"]) == (
+        int(pdf.loc[victim, "bucket"]),
+        int(pdf.loc[victim, "salt"]),
+        int(pdf.loc[victim, "chunk"]),
+    )
