@@ -325,12 +325,16 @@ def _q_lsh_near_dup_pairs(spark, sf):
 
 def _q_embedding_compression(spark, sf):
     """Lossless float-vector codec metrics over the embeddings table
-    (byte-plane transposed float32 blocks + zstd). Runs at the scan's
-    natural parallelism — one metrics row per Arrow batch, merged by a
-    single-row aggregate; roundtrip compare is vectorized numpy."""
+    (byte-plane transposed float32 blocks + zstd). Deterministic
+    blocking (hash-bucket + sorted fixed-size blocks) makes every
+    output field — including encoded_bytes — machine-independent while
+    still running one task per bucket; roundtrip compare is vectorized
+    numpy."""
     from parquet_converter_spark.operators import embcodec
 
-    return embcodec.compression_metrics(_t(spark, sf, "embeddings"), "embedding")
+    return embcodec.compression_metrics(
+        _t(spark, sf, "embeddings"), "embedding", id_col="vec_id"
+    )
 
 
 def _q_media_stats(spark, sf):

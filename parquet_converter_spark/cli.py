@@ -88,6 +88,19 @@ def main(argv: list[str] | None = None) -> int:
     from .logutil import setup_logging
 
     log = setup_logging(args.log_level, args.log_file, args.verbose)
+
+    if args.cmd == "config":
+        # pure JSON print/save — never pay JVM + SparkContext startup
+        import dataclasses
+
+        from .config import EngineConfig
+
+        cfg = EngineConfig.load(args.config)
+        if args.save:
+            cfg.save(args.save)
+        print(json.dumps(dataclasses.asdict(cfg)))
+        return 0
+
     spark = get_spark(app=f"pcs-{args.cmd}", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     log.info("command=%s master=%s", args.cmd, args.master or "default")
@@ -99,17 +112,6 @@ def main(argv: list[str] | None = None) -> int:
         df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"written": args.out, "rows": n}))
-        return 0
-
-    if args.cmd == "config":
-        import dataclasses
-
-        from .config import EngineConfig
-
-        cfg = EngineConfig.load(args.config)
-        if args.save:
-            cfg.save(args.save)
-        print(json.dumps(dataclasses.asdict(cfg)))
         return 0
 
     if args.cmd == "encode":
@@ -185,7 +187,7 @@ def main(argv: list[str] | None = None) -> int:
 
         io = _io(spark, args.out)
         if args.conv_id:
-            decoded = decode_conversation(spark, io, args.conv_id)
+            decoded = decode_conversation(spark, io, args.conv_id, on_error=args.on_error)
         else:
             cols = args.columns.split(",") if args.columns else None
             decoded = decode_table(spark, io, columns=cols, on_error=args.on_error)

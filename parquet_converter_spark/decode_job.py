@@ -69,6 +69,11 @@ def _decode_batches_cols(cols: list[str], skip_errors: bool = False):
                     for col in cols:
                         series, _codec = decode_block(bytes(row[f"{col}_blk"]))
                         out[col] = series.reset_index(drop=True)
+                    # cross-column guard: corrupted row counts that decode
+                    # without raising must NOT NaN-pad via index alignment
+                    lens = {c: len(s) for c, s in out.items()}
+                    if len(set(lens.values())) > 1:
+                        raise ValueError(f"column length mismatch in block: {lens}")
                 except Exception:
                     if skip_errors:
                         continue
@@ -88,18 +93,24 @@ def _decode_batches_arrow_cols(cols: list[str], skip_errors: bool = False):
         for batch in iterator:
             d = batch.to_pydict()
             for i in range(batch.num_rows):
-                arrays = []
                 try:
+                    arrays = []
                     for col in cols:
                         arr, _codec = decode_block_arrow(bytes(d[f"{col}_blk"][i]))
                         if COLUMN_DTYPES[col] == "str":
                             arr = arr.cast(pa.string())
                         arrays.append(arr)
+                    lens = {c: len(a) for c, a in zip(cols, arrays)}
+                    if len(set(lens.values())) > 1:
+                        raise ValueError(f"column length mismatch in block: {lens}")
+                    # constructed INSIDE the try so skip mode isolates a
+                    # block whose corruption only surfaces at assembly
+                    rb = pa.RecordBatch.from_arrays(arrays, names=cols)
                 except Exception:
                     if skip_errors:
                         continue
                     raise
-                yield pa.RecordBatch.from_arrays(arrays, names=cols)
+                yield rb
 
     return fn
 
@@ -139,7 +150,9 @@ def corrupt_blocks(spark: SparkSession, io) -> DataFrame:
     )
 
 
-def decode_conversation(spark: SparkSession, io, conv_id: str, arrow_native: bool = True) -> DataFrame:
+def decode_conversation(
+    spark: SparkSession, io, conv_id: str, arrow_native: bool = True, on_error: str = "raise"
+) -> DataFrame:
     """Point lookup: decode one conversation's turns.
 
     Uses the engine's own partitioning as an index: candidate buckets =
@@ -163,5 +176,7 @@ def decode_conversation(spark: SparkSession, io, conv_id: str, arrow_native: boo
             }
         )
     # tables written before table_meta existed fall back to a full scan
-    df = decode_table(spark, io, buckets=buckets, arrow_native=arrow_native)
+    df = decode_table(
+        spark, io, buckets=buckets, arrow_native=arrow_native, on_error=on_error
+    )
     return df.where(F.col("conv_id") == conv_id)

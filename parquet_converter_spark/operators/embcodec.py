@@ -55,21 +55,66 @@ def _batch_metrics(s: pd.Series) -> dict:
     }
 
 
-def per_batch_metrics(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """One metrics row per Arrow batch — runs with the scan's natural
-    parallelism (one task per input partition)."""
+def per_batch_metrics(
+    df: DataFrame,
+    col: str = "embedding",
+    id_col: str | None = None,
+    rows_per_block: int = 4096,
+    n_parts: int = 8,
+) -> DataFrame:
+    """One metrics row per encoded block.
 
-    def comp(it):
+    Default (``id_col=None``): shuffle-free — blocks follow the scan's
+    Arrow batch boundaries, so n_vecs/raw_bytes/roundtrip totals are
+    exact but encoded_bytes varies slightly with partitioning (per-blob
+    framing overhead).
+
+    With ``id_col``: DETERMINISTIC blocking — rows hash-bucket on the
+    id (one shuffle), sort within partitions, and re-chunk into
+    fixed-size blocks, so block contents are a pure function of the
+    data and encoded_bytes/codecs_used are identical on any machine,
+    core count, or Arrow batch size. Memory stays bounded at
+    ~rows_per_block regardless of partition size."""
+
+    def comp_stream(it):
+        buf = None
+        for pdf in it:
+            s = pdf[col]
+            buf = s if buf is None else pd.concat([buf, s], ignore_index=True)
+            while len(buf) >= rows_per_block:
+                yield pd.DataFrame(
+                    [_batch_metrics(buf.iloc[:rows_per_block].reset_index(drop=True))]
+                )
+                buf = buf.iloc[rows_per_block:].reset_index(drop=True)
+        if buf is not None and len(buf):
+            yield pd.DataFrame([_batch_metrics(buf.reset_index(drop=True))])
+
+    def comp_per_batch(it):
         for pdf in it:
             yield pd.DataFrame([_batch_metrics(pdf[col])])
 
-    return df.select(col).mapInPandas(comp, _SCHEMA)
+    if id_col is None:
+        return df.select(col).mapInPandas(comp_per_batch, _SCHEMA)
+    bucketed = (
+        df.select(id_col, col)
+        .withColumn("_g", F.pmod(F.xxhash64(id_col), F.lit(n_parts)))
+        .repartition(n_parts, "_g")
+        .sortWithinPartitions(id_col)
+        .select(col)
+    )
+    return bucketed.mapInPandas(comp_stream, _SCHEMA)
 
 
-def compression_metrics(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """Single summary row: totals are batch-boundary-independent, so the
-    result is stable under any partitioning."""
-    return per_batch_metrics(df, col).agg(
+def compression_metrics(
+    df: DataFrame,
+    col: str = "embedding",
+    id_col: str | None = None,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Single summary row. n_vecs/raw_bytes/all_roundtrip_ok are always
+    partitioning-independent; pass ``id_col`` to make encoded_bytes and
+    codecs_used machine-independent too (deterministic blocking)."""
+    return per_batch_metrics(df, col, id_col, rows_per_block).agg(
         F.sum("n_vecs").alias("n_vecs"),
         F.sum("raw_bytes").alias("raw_bytes"),
         F.sum("encoded_bytes").alias("encoded_bytes"),

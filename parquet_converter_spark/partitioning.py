@@ -77,4 +77,10 @@ def estimate_input_rows(spark, df: DataFrame) -> int:
         .collect()[0]["b"]
     )
     avg_line = (probe or 100.0) + 1.0  # +1 newline
-    return max(1, int(total_bytes / avg_line))
+    # on-disk bytes are COMPRESSED for .gz/.bz2/… while avg_line is
+    # measured on decompressed lines — scale by a conservative text
+    # ratio. Erring HIGH is safe (more buckets → smaller groups);
+    # underestimating is what breaks the salting's memory bound.
+    compressed = (".gz", ".bz2", ".zst", ".zstd", ".snappy", ".deflate", ".lz4", ".xz")
+    ratio = 8.0 if any(f.endswith(compressed) for f in files) else 1.0
+    return max(1, int(total_bytes * ratio / avg_line))

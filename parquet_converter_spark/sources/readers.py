@@ -233,33 +233,29 @@ def sampled_schema(
 
     Spark's inferSchema reads the whole file; this keeps the
     reference's bounded-sample discipline: the first ``sample_rows``
-    lines (an early-stopping limit over the text scan — no RDD) are
-    written to a temp prefix file, and full CSV inference runs on the
-    prefix only. Known limit (documented): records with QUOTED EMBEDDED
-    NEWLINES span text lines, so the prefix may cut one mid-record —
-    pass an explicit schema (or use the multiLine full read) for such
-    files, exactly as the reference requires pandas ``engine='python'``
-    there.
-    """
-    import shutil
-    import tempfile
+    lines (an early-stopping limit over the text scan) are collected to
+    the driver — bounded by construction — and redistributed via
+    ``parallelize`` for CSV inference on the prefix only. No temp
+    filesystem involved, so this works identically in local mode and on
+    a cluster (a scratch-file variant would land on whichever node runs
+    the write task). The collected dataset is a bounded SAMPLE, not a
+    row-wise RDD compute detour.
 
+    Known limit (documented): records with QUOTED EMBEDDED NEWLINES
+    span text lines, so the prefix may cut one mid-record — pass an
+    explicit schema (or use the multiLine full read) for such files,
+    exactly as the reference requires pandas ``engine='python'`` there.
+    """
     head = sample_rows + (1 if header else 0)
-    tmp = tempfile.mkdtemp(prefix="pcs_schema_probe_")
-    try:
-        # limit() plans a single output partition → one prefix file in
-        # read order, so the header stays first
-        spark.read.text(path).limit(head).coalesce(1).write.mode("overwrite").text(tmp)
-        probe = (
-            spark.read.option("sep", delimiter)
-            .option("header", str(header).lower())
-            .option("nullValue", null_value)
-            .option("inferSchema", "true")
-            .csv(tmp)
-        )
-        return probe.schema
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    lines = [r[0] for r in spark.read.text(path).limit(head).collect()]
+    probe = (
+        spark.read.option("sep", delimiter)
+        .option("header", str(header).lower())
+        .option("nullValue", null_value)
+        .option("inferSchema", "true")
+        .csv(spark.sparkContext.parallelize(lines, 2))
+    )
+    return probe.schema
 
 
 def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:

@@ -54,13 +54,18 @@ def _track(
     for pdf in pdfs:
         if not len(pdf):
             continue
-        ts = pdf["ts"].astype("int64") // 1_000_000  # epoch seconds
         turns += len(pdf)
         u += int((pdf["role"] == "user").sum())
         a += int((pdf["role"] == "assistant").sum())
-        lo, hi = int(ts.min()), int(ts.max())
-        first_ts = lo if first_ts is None else min(first_ts, lo)
-        last_ts = hi if last_ts is None else max(last_ts, hi)
+        # Arrow→pandas delivers ts as datetime64[ns]; drop NaT (a null ts
+        # must not poison min/max with INT64_MIN) and convert ns → epoch
+        # seconds
+        ts = pdf["ts"].dropna()
+        if len(ts):
+            secs = ts.astype("int64") // 1_000_000_000
+            lo, hi = int(secs.min()), int(secs.max())
+            first_ts = lo if first_ts is None else min(first_ts, lo)
+            last_ts = hi if last_ts is None else max(last_ts, hi)
     state.update((turns, u, a, first_ts, last_ts))
     state.setTimeoutDuration(30_000)  # idle conversations close after 30s
     yield pd.DataFrame(

@@ -91,6 +91,8 @@ class IcebergTableIO:
     unless given explicitly, so distinct roots map to distinct tables."""
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        import re
+
         if not iceberg_available(spark):
             raise RuntimeError(
                 "Iceberg runtime jar not on classpath; use ParquetDirTableIO"
@@ -99,10 +101,26 @@ class IcebergTableIO:
             raise RuntimeError(
                 f"spark.sql.catalog.{catalog} is not configured in this session"
             )
+        # identifiers are interpolated into SQL — restrict to safe chars
+        # (explicit iceberg:// URIs bypass namespace_for_root's sanitizer)
+        for ident in (catalog, namespace):
+            if not re.fullmatch(r"[A-Za-z0-9_]+", ident):
+                raise ValueError(
+                    f"catalog/namespace must match [A-Za-z0-9_]+, got {ident!r}"
+                )
         self.spark = spark
         self.catalog = catalog
         self.namespace = namespace
-        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+        self._ns_ready = False
+
+    def _ensure_namespace(self) -> None:
+        """DDL only on the first WRITE — read-only opens (decode/verify/
+        report) must not mutate the catalog."""
+        if not self._ns_ready:
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS `{self.catalog}`.`{self.namespace}`"
+            )
+            self._ns_ready = True
 
     def _ident(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
@@ -114,9 +132,15 @@ class IcebergTableIO:
         return self.spark.table(self._ident(name))
 
     def append(self, df: DataFrame, name: str, compression: str = "uncompressed") -> None:
-        df.writeTo(self._ident(name)).append()
+        self._ensure_namespace()
+        # parquet-dir append semantics: first append creates the table
+        if not self.exists(name):
+            df.writeTo(self._ident(name)).create()
+        else:
+            df.writeTo(self._ident(name)).append()
 
     def overwrite(self, df: DataFrame, name: str, compression: str = "snappy") -> None:
+        self._ensure_namespace()
         df.writeTo(self._ident(name)).createOrReplace()
 
 

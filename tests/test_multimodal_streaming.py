@@ -167,3 +167,7 @@ def test_stateful_conversation_sessions(spark, tmp_path):
         ).collect()
     }
     assert by_conv == want_roles
+    # ts fields are epoch SECONDS (ns→s conversion; was ms before the fix)
+    for r in rows:
+        if r["first_ts"] is not None:
+            assert 1_000_000_000 < r["first_ts"] <= r["last_ts"] < 4_000_000_000

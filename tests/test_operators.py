@@ -132,6 +132,16 @@ def test_embedding_compression_parallel_and_stable(spark):
     assert multi["raw_bytes"] == single["raw_bytes"] == 256 * 16 * 4
     assert multi["all_roundtrip_ok"] and single["all_roundtrip_ok"]
 
+    # deterministic blocking: EVERY field (incl. encoded_bytes and
+    # codecs_used) must be identical regardless of input partitioning
+    det_multi = embcodec.compression_metrics(
+        df.repartition(4), "embedding", id_col="vec_id", rows_per_block=64
+    ).collect()[0]
+    det_single = embcodec.compression_metrics(
+        df.coalesce(1), "embedding", id_col="vec_id", rows_per_block=64
+    ).collect()[0]
+    assert det_multi.asDict() == det_single.asDict()
+
 
 def test_analyzer_sample_rows(spark):
     df = spark.createDataFrame(

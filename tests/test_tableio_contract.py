@@ -82,6 +82,11 @@ def fake_iceberg(spark, monkeypatch):
             cur = cat.tables.get(self.ident)
             cat.tables[self.ident] = new if cur is None else cur.unionByName(new)
 
+        def create(self):
+            if self.ident in cat.tables:
+                raise ValueError(f"table exists: {self.ident}")
+            cat.tables[self.ident] = self.df.localCheckpoint(eager=True)
+
         def createOrReplace(self):
             cat.tables[self.ident] = self.df.localCheckpoint(eager=True)
 
