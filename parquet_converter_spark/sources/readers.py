@@ -267,6 +267,12 @@ def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         return read_csv(spark, path, **kwargs)
     if lower.endswith(".txt"):
         return read_txt(spark, path, **kwargs)
+    if lower.endswith((".jsonl", ".json", ".ndjson")):
+        return read_jsonl(
+            spark, path,
+            schema=kwargs.get("schema"),
+            ignore_errors=kwargs.get("ignore_errors", False),
+        )
     if lower.endswith(".parquet"):
         return read_parquet(spark, path, schema=kwargs.get("schema"))
     raise ValueError(f"unsupported file extension: {path}")
@@ -292,3 +298,30 @@ def discover_tables(spark: SparkSession, root: str, extension: str = "parquet") 
             if f.endswith(f".{extension}"):
                 found.append(os.path.join(dirpath, f))
     return found
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    sample_rows: int = 100_000,
+    ignore_errors: bool = False,
+) -> DataFrame:
+    """Engine-added JSONL scan (the reference is CSV/TXT-only, but LLM
+    document corpora are predominantly JSON-lines). Same sample-then-pin
+    discipline as the CSV path: with no explicit ``schema``, inference
+    runs over a bounded prefix only — never the full source — and the
+    full scan re-reads with the pinned schema (Spark's own inferSchema
+    would read everything).
+
+    ``ignore_errors`` maps to DROPMALFORMED (P4 parity); default is
+    PERMISSIVE-with-pinned-schema, where malformed lines surface as
+    all-null rows rather than killing the job.
+    """
+    if schema is None:
+        head = [r[0] for r in spark.read.text(path).limit(sample_rows).collect()]
+        schema = spark.read.json(spark.sparkContext.parallelize(head, 2)).schema
+    reader = spark.read.schema(schema)
+    if ignore_errors:
+        reader = reader.option("mode", "DROPMALFORMED")
+    return reader.json(path)

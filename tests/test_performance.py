@@ -45,7 +45,9 @@ def vm_slowdown():
         np.packbits((b & np.uint64(1)).astype(np.uint8))
         best = min(best, time.perf_counter() - t0)
     healthy = 0.028  # seconds for this kernel on the unloaded sandbox
-    return min(8.0, max(1.0, best / healthy))
+    # cap 20: a genuine engine regression is >100x, the worst VM window
+    # measured so far is ~10x (a 49-minute run of the usual 5-minute suite)
+    return min(20.0, max(1.0, best / healthy))
 
 
 def test_encode_throughput_floor(spark, transcripts_100k, tmp_path, vm_slowdown):
@@ -57,7 +59,7 @@ def test_encode_throughput_floor(spark, transcripts_100k, tmp_path, vm_slowdown)
     t0 = time.time()
     encode_table(spark, transcripts_100k, io, run_id="perf", salt_rows=16_384)
     dt = time.time() - t0
-    floor = max(1_000, 10_000 / vm_slowdown)
+    floor = max(1_500, 10_000 / vm_slowdown)  # always ≥1.5x the reference bar
     assert n / dt > floor, f"{n / dt:,.0f} rows/s (floor {floor:,.0f}, slowdown {vm_slowdown:.1f}x)"
 
 

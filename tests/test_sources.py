@@ -206,3 +206,33 @@ def test_sampled_schema_bounded_and_rdd_free(spark, tmp_path):
     kinds = {f.name: f.dataType.simpleString() for f in schema.fields}
     # inference saw only the clean prefix: x stays integral, y double
     assert kinds["x"] == "int" and kinds["y"] == "double" and kinds["z"] == "string"
+
+
+def test_read_jsonl_sampled_inference_and_dispatch(spark, tmp_path):
+    """Engine-added JSONL source: bounded-prefix inference, pinned
+    schema on the full scan, DROPMALFORMED parity, read_auto dispatch."""
+    p = tmp_path / "docs.jsonl"
+    lines = [f'{{"doc_id": {i}, "text": "doc number {i}", "score": {i * 0.5}}}' for i in range(50)]
+    p.write_text("\n".join(lines) + "\n")
+
+    df = readers.read_jsonl(spark, str(p))
+    dt = dict(df.dtypes)
+    assert dt["doc_id"] == "bigint" and dt["score"] == "double" and dt["text"] == "string"
+    assert df.count() == 50
+    assert readers.read_auto(spark, str(p)).count() == 50
+
+    # malformed line: PERMISSIVE yields a null row; DROPMALFORMED drops it
+    p2 = tmp_path / "bad.jsonl"
+    p2.write_text('{"doc_id": 1, "text": "ok"}\n{broken json\n{"doc_id": 3, "text": "ok"}\n')
+    perm = readers.read_jsonl(spark, str(p2), schema=df.schema)
+    assert perm.count() == 3
+    dropped = readers.read_jsonl(spark, str(p2), schema=df.schema, ignore_errors=True)
+    assert dropped.count() == 2
+    assert sorted(r["doc_id"] for r in dropped.collect()) == [1, 3]
+
+    # inference saw only the prefix: a type-poisoning line past the
+    # sample bound must not change the pinned schema
+    p3 = tmp_path / "poison.jsonl"
+    p3.write_text("\n".join(lines) + '\n{"doc_id": "not_a_number", "text": "x", "score": 1}\n')
+    df3 = readers.read_jsonl(spark, str(p3), sample_rows=50)
+    assert dict(df3.dtypes)["doc_id"] == "bigint"
