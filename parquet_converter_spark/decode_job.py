@@ -18,6 +18,29 @@ from . import checkpoint as ckpt
 from .codecs.blocks import decode_block
 from .schema import ENCODED_COLUMNS, TRANSCRIPT_SCHEMA
 
+#: highest table format this decoder understands (block frames carry
+#: their own per-blob version; this is the table-level contract)
+SUPPORTED_FORMAT_VERSION = 1
+
+
+def _check_format_version(io) -> None:
+    """Fail fast with a clear message when the table was written by a
+    newer engine — garbled per-block errors are the alternative."""
+    if not io.exists(ckpt.TABLE_META):
+        return  # pre-table_meta tables are format 1 by definition
+    from pyspark.sql import functions as F
+
+    vmax = (
+        io.read(ckpt.TABLE_META)
+        .agg(F.max("format_version").alias("v"))
+        .collect()[0]["v"]
+    )
+    if vmax is not None and vmax > SUPPORTED_FORMAT_VERSION:
+        raise ValueError(
+            f"table format_version {vmax} is newer than this decoder "
+            f"(supports <= {SUPPORTED_FORMAT_VERSION}); upgrade the engine"
+        )
+
 
 def decode_table(
     spark: SparkSession,
@@ -45,6 +68,7 @@ def decode_table(
 
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    _check_format_version(io)
     cols = list(columns) if columns is not None else list(ENCODED_COLUMNS)
     unknown = set(cols) - set(ENCODED_COLUMNS)
     if unknown:

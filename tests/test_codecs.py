@@ -197,3 +197,29 @@ def test_compression_beats_plain_on_text():
     auto = encode_block(texts, "str", None)
     raw = sum(len(t.encode()) for t in texts)
     assert len(auto) < raw * 0.5
+
+
+def test_f32list_special_values_bit_identical():
+    """Embedding payloads carry NaN/Inf/-0.0/subnormals — the vector
+    codec must reproduce the exact float32 bit patterns, plus None and
+    empty vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_converter_spark.codecs.blocks import decode_block, encode_block
+
+    s = pd.Series([
+        [1.0, float("nan"), float("inf")],
+        [-0.0, 3.5e38, -float("inf")],   # 3.5e38 overflows float32 → inf
+        None,
+        [],
+        [1.401298464324817e-45],          # smallest positive subnormal
+    ])
+    out, used = decode_block(encode_block(s, "f32list", None))
+    for a, b in zip(s, out):
+        if a is None:
+            assert b is None
+            continue
+        aa = np.asarray(a, np.float32)
+        bb = np.asarray(b, np.float32)
+        assert aa.tobytes() == bb.tobytes()

@@ -243,3 +243,18 @@ def test_decode_error_isolation_and_corrupt_scan(spark, transcripts, tmp_path):
         int(pdf.loc[victim, "salt"]),
         int(pdf.loc[victim, "chunk"]),
     )
+
+
+def test_decode_rejects_newer_format_version(spark, transcripts, tmp_path):
+    """A table written by a future engine version must fail fast with a
+    clear message, not garbled per-block errors."""
+    from pyspark.sql import functions as F
+
+    from parquet_converter_spark import checkpoint as ckpt
+
+    io = ParquetDirTableIO(spark, str(tmp_path / "t"))
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512, num_buckets=4)
+    meta = io.read(ckpt.TABLE_META).withColumn("format_version", F.lit(99))
+    io.overwrite(meta.localCheckpoint(eager=True), ckpt.TABLE_META)
+    with pytest.raises(ValueError, match="format_version 99"):
+        decode_table(spark, io).count()
