@@ -236,6 +236,27 @@ def _q_token_count_stats(spark, sf):
     return textstats.token_count_stats(_t(spark, sf, "documents"))
 
 
+def _q_corpus_clean_pipeline(spark, sf):
+    """End-to-end corpus cleaning, composed from the pipeline operators
+    a training-data user chains: language filter → min-token quality
+    gate → exact dedup on normalized text (keep lowest doc_id). One
+    filter-projection plus the dedup window — shuffle count identical
+    to dedup alone."""
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    base = (
+        docs.where(F.col("lang") == "en")
+        .select("doc_id", F.size(toks).alias("n_tokens"), norm.alias("norm"))
+        .where(F.col("n_tokens") >= 5)
+    )
+    return (
+        dedup.drop_exact_dups(base, "norm", "doc_id")
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def _q_quality_scores(spark, sf):
     return textstats.quality_score(_t(spark, sf, "documents"))
 
@@ -400,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": _q_dedup_keep_first,
         "distinct_docs": _q_distinct_docs,
         "token_count_stats": _q_token_count_stats,
+        "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         "quality_scores": _q_quality_scores,
         "lang_distribution": _q_lang_distribution,
         "ann_topk_cosine": _q_ann_topk_cosine,
@@ -519,6 +541,18 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY substr(text, 1, 40)
                                         ORDER BY doc_id ASC) AS rn
               FROM documents)
+            WHERE rn = 1 ORDER BY doc_id""",
+        "corpus_clean_pipeline": """
+            SELECT doc_id, CAST(nt AS INT) AS n_tokens FROM (
+              SELECT doc_id, nt,
+                     row_number() OVER (
+                       PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                       ORDER BY doc_id ASC) AS rn
+              FROM (
+                SELECT doc_id, text,
+                       len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS nt
+                FROM documents WHERE lang = 'en')
+              WHERE nt >= 5)
             WHERE rn = 1 ORDER BY doc_id""",
         "token_count_stats": """
             SELECT CAST(SUM(nt) AS BIGINT) AS total_tokens,
