@@ -66,3 +66,32 @@ def test_ts_roundtrip_property(vals, codec):
     a = arr[arr.notna()].astype("datetime64[us]").tolist()
     b = out[out.notna()].astype("datetime64[us]").tolist()
     assert a == b
+
+
+# --- FSST kernel differential property: the vectorized exact-greedy
+# tokenizer (match-domain pointer doubling) and the C-regex scan are two
+# implementations of the same greedy compressor. Both must roundtrip any
+# byte string; the vectorized output may only be marginally larger (its
+# prefix-dispatch considers one candidate symbol per 2-byte prefix).
+
+fsst_payloads = st.one_of(
+    st.binary(max_size=2048),
+    # repetitive text-like payloads give the symbol table real work
+    st.lists(
+        st.sampled_from([b"the cat ", b"user_42 ", b"hello", b" said ", b"\x00\xff", b"aaaa"]),
+        max_size=200,
+    ).map(b"".join),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=fsst_payloads)
+def test_fsst_kernels_differential(data):
+    from parquet_converter_spark.codecs import fsst
+
+    syms = fsst.build_symbol_table(data[:4096] or b"x")
+    out_re = fsst.compress(data, syms)
+    out_vec = fsst.compress_vectorized(data, syms)
+    assert fsst.decompress(out_re, syms) == data
+    assert fsst.decompress(out_vec, syms) == data
+    assert len(out_vec) <= max(len(out_re) + 8, int(len(out_re) * 1.1))
