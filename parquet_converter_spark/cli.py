@@ -83,6 +83,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="dir containing *.parquet tables")
     ap.add_argument("--report", default=None, help="write text report here (default stdout)")
     ap.add_argument("--json", dest="json_out", default=None, help="also write JSON report")
+    ap.add_argument("--approx", action="store_true",
+                    help="HLL distinct + approx median (the 100TB-scale profile)")
 
     args = p.parse_args(argv)
     from .logutil import setup_logging
@@ -254,7 +256,7 @@ def main(argv: list[str] | None = None) -> int:
         analyses = {}
         for p in paths:
             name = os.path.basename(p)
-            analyses[name] = analyze_table(spark.read.parquet(p))
+            analyses[name] = analyze_table(spark.read.parquet(p), approx=args.approx)
         text = format_report(analyses)
         if args.report:
             with open(args.report, "w") as f:

@@ -19,7 +19,12 @@ from pyspark.sql import types as T
 _NUMERIC = (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.ShortType)
 
 
-def analyze_table(df: DataFrame, column_limit: int = 25, include_samples: bool = True) -> dict:
+def analyze_table(
+    df: DataFrame,
+    column_limit: int = 25,
+    include_samples: bool = True,
+    approx: bool = False,
+) -> dict:
     """Fused profile of one table (reference analyzer.py:284-355).
 
     Returns {row_count, columns: {name: {dtype, nulls, uniques, [min,
@@ -27,19 +32,34 @@ def analyze_table(df: DataFrame, column_limit: int = 25, include_samples: bool =
     small top-5 pass per low-cardinality string column. With
     ``include_samples`` (reference analyzer.py:324-346) it adds
     first/last-3 rows under first-column order and a deterministic
-    random-10 sample — each a limit-N job, never a full collect."""
+    random-10 sample — each a limit-N job, never a full collect.
+
+    ``approx=True`` is the 100 TB path: exact per-column countDistinct
+    expands the aggregate input once per column and exact median fully
+    sorts each numeric column — at warehouse scale that dominates the
+    scan many times over. HLL (approx_count_distinct, 1% rsd) and
+    percentile_approx keep the profile a single streaming aggregate;
+    reference semantics (exact) stay the default."""
     fields = df.schema.fields[:column_limit]  # P1 column-limit projection
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for f in fields:
         c = F.col(f.name)
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{f.name}"))
-        aggs.append(F.countDistinct(c).alias(f"uniq_{f.name}"))
+        if approx:
+            aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"uniq_{f.name}"))
+        else:
+            aggs.append(F.countDistinct(c).alias(f"uniq_{f.name}"))
         if isinstance(f.dataType, _NUMERIC):
+            median = (
+                F.percentile_approx(c, 0.5, 10_000)
+                if approx
+                else F.expr(f"median({f.name})")
+            )
             aggs += [
                 F.min(c).alias(f"min_{f.name}"),
                 F.max(c).alias(f"max_{f.name}"),
                 F.avg(c).alias(f"mean_{f.name}"),
-                F.expr(f"median({f.name})").alias(f"median_{f.name}"),
+                median.alias(f"median_{f.name}"),
                 F.stddev_samp(c).alias(f"std_{f.name}"),
             ]
     row = df.agg(*aggs).collect()[0].asDict()

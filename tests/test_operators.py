@@ -159,3 +159,20 @@ def test_analyzer_sample_rows(spark):
     # opt-out keeps the single-pass profile only
     c = analyzer.analyze_table(df, include_samples=False)
     assert "sample_rows" not in c
+
+
+def test_analyzer_approx_mode(spark):
+    """The scale profile: HLL distinct within rsd of exact, approx
+    median within tolerance, identical result shape."""
+    df = spark.createDataFrame(
+        [(i, f"u{i % 97}", float(i)) for i in range(2000)],
+        "id int, user string, x double",
+    )
+    exact = analyzer.analyze_table(df, include_samples=False)
+    ap = analyzer.analyze_table(df, include_samples=False, approx=True)
+    assert set(exact["columns"]) == set(ap["columns"])
+    assert ap["row_count"] == 2000
+    u = ap["columns"]["user"]["unique_values"]
+    assert abs(u - 97) <= max(3, int(97 * 0.05))
+    assert abs(ap["columns"]["x"]["median"] - exact["columns"]["x"]["median"]) <= 2.0
+    assert ap["columns"]["id"]["null_count"] == 0
