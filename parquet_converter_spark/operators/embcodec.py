@@ -41,10 +41,14 @@ def _batch_metrics(s: pd.Series) -> dict:
     lens_b = np.fromiter((v.size for v in vals_b), np.int64, len(vals_b))
     flat_a = np.concatenate(vals_a) if vals_a else np.empty(0, np.float32)
     flat_b = np.concatenate(vals_b) if vals_b else np.empty(0, np.float32)
+    # compare BIT PATTERNS, not float values: array_equal treats NaN as
+    # unequal (a NaN embedding would report a false roundtrip failure)
+    # and -0.0 == +0.0 (a sign-flip corruption would falsely pass) —
+    # the module contract is bit-identity on the float32 buffers
     ok = bool(
         np.array_equal(na_a, na_b)
         and np.array_equal(lens_a, lens_b)
-        and np.array_equal(flat_a, flat_b)
+        and np.array_equal(flat_a.view(np.uint32), flat_b.view(np.uint32))
     )
     return {
         "n_vecs": int(len(s)),

@@ -80,7 +80,9 @@ def estimate_input_rows(spark, df: DataFrame) -> int:
     # on-disk bytes are COMPRESSED for .gz/.bz2/… while avg_line is
     # measured on decompressed lines — scale by a conservative text
     # ratio. Erring HIGH is safe (more buckets → smaller groups);
-    # underestimating is what breaks the salting's memory bound.
+    # underestimating is what breaks the salting's memory bound, and
+    # repetitive corpora routinely exceed the typical ~8x (zstd on
+    # boilerplate web text can hit 15-20x), so the guess is 16x.
     compressed = (".gz", ".bz2", ".zst", ".zstd", ".snappy", ".deflate", ".lz4", ".xz")
-    ratio = 8.0 if any(f.endswith(compressed) for f in files) else 1.0
+    ratio = 16.0 if any(f.endswith(compressed) for f in files) else 1.0
     return max(1, int(total_bytes * ratio / avg_line))

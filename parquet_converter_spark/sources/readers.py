@@ -126,8 +126,11 @@ def read_txt_regex(
     separator) whose header=true drops the first line of EVERY file by
     file offset — so a body row whose text equals the header survives,
     and multi-file globs lose each file's own header, not just one.
-    (Blank lines are skipped by the CSV line reader — acceptable for a
-    whitespace-delimited format.)"""
+    (Blank lines are skipped by the CSV line reader, and any literal
+    \\x01 byte in a line truncates it at that byte under the pinned
+    1-column schema — both acceptable for a whitespace-delimited text
+    format, and the schema pin means such a line degrades to a short
+    row instead of crashing the whole read on column arity.)"""
     import re
 
     if header:
@@ -135,12 +138,12 @@ def read_txt_regex(
         names = column_names or re.split(pattern, first.strip())
         body = (
             spark.read.option("header", "true")
-            .option("sep", "\x01")      # never occurs in text lines
+            .option("sep", "\x01")      # never occurs in normal text lines
             .option("quote", "")        # verbatim lines, no quote stripping
             .option("ignoreLeadingWhiteSpace", "false")
             .option("ignoreTrailingWhiteSpace", "false")
-            .csv(path)
-            .toDF("value")
+            .schema("value string")     # pinned 1-col: a stray \x01 must not
+            .csv(path)                  # raise a toDF arity error
         )
     else:
         names = column_names or []
@@ -219,6 +222,30 @@ def _read_delimited_with_skip(
     return infer_and_cast(out)
 
 
+#: driver-memory cap for schema-inference samples: a 100k-ROW bound
+#: alone is not a BYTE bound when each line is a multi-KB document
+DEFAULT_SAMPLE_BYTES = 64 << 20
+
+
+def _bounded_head_lines(
+    spark: SparkSession, path: str, max_rows: int, max_bytes: int = DEFAULT_SAMPLE_BYTES
+) -> list[str]:
+    """First ``max_rows`` text lines, additionally capped at ``max_bytes``
+    of driver memory. ``toLocalIterator`` streams partitions one at a
+    time, so the driver never holds more than the cap plus one partition
+    in flight — the row cap alone would be multi-GB on a corpus of
+    tens-of-KB JSON documents."""
+    lines: list[str] = []
+    total = 0
+    for r in spark.read.text(path).limit(max_rows).toLocalIterator():
+        v = r[0]
+        lines.append(v)
+        total += len(v) + 1
+        if total >= max_bytes:
+            break
+    return lines
+
+
 def sampled_schema(
     spark: SparkSession,
     path: str,
@@ -247,7 +274,7 @@ def sampled_schema(
     exactly as the reference requires pandas ``engine='python'`` there.
     """
     head = sample_rows + (1 if header else 0)
-    lines = [r[0] for r in spark.read.text(path).limit(head).collect()]
+    lines = _bounded_head_lines(spark, path, head)
     probe = (
         spark.read.option("sep", delimiter)
         .option("header", str(header).lower())
@@ -319,7 +346,7 @@ def read_jsonl(
     all-null rows rather than killing the job.
     """
     if schema is None:
-        head = [r[0] for r in spark.read.text(path).limit(sample_rows).collect()]
+        head = _bounded_head_lines(spark, path, sample_rows)
         schema = spark.read.json(spark.sparkContext.parallelize(head, 2)).schema
     reader = spark.read.schema(schema)
     if ignore_errors:

@@ -143,6 +143,26 @@ def test_embedding_compression_parallel_and_stable(spark):
     assert det_multi.asDict() == det_single.asDict()
 
 
+def test_embedding_compression_bit_identity_nan_negzero(spark):
+    """Roundtrip must compare BIT PATTERNS: NaN payloads are bit-equal
+    to themselves (value compare would flag them as mismatches), and
+    -0.0 survives as -0.0 (value compare would accept a +0.0 flip)."""
+    import math
+
+    from parquet_converter_spark.operators import embcodec
+
+    rows = [
+        (0, [float("nan"), 1.0, -0.0]),
+        (1, [float("-inf"), float("inf"), 2.5]),
+        (2, [-0.0, float("nan"), float("nan")]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embcodec.compression_metrics(df, "embedding", id_col="vec_id").collect()[0]
+    assert out["all_roundtrip_ok"] is True
+    assert out["n_vecs"] == 3
+    assert not math.isnan(out["raw_bytes"])
+
+
 def test_analyzer_sample_rows(spark):
     df = spark.createDataFrame(
         [(i, f"name{i}") for i in range(50)], "id int, name string"
