@@ -36,11 +36,17 @@ def distinct_count_after_dedup(df: DataFrame, text_col: str = "text") -> DataFra
 
 def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """The cleaned corpus: keep the lowest-id document per exact text.
-    One shuffle (window over the text hash); at 10^12 docs partition by
-    xxhash64(text) rather than the full text to bound shuffle keys."""
+
+    One shuffle, keyed on ``(xxhash64(text), text)``: the 8-byte hash
+    leads the window partition key so shuffle routing and the sort
+    comparator work on longs — full document bodies are compared only
+    between hash-equal rows. The text column rides second in the key as
+    the collision tiebreak, so two different texts that share a hash
+    still form distinct groups (bit-exact semantics, not probabilistic).
+    """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(text_col).orderBy(F.asc(id_col))
+    w = W.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(F.asc(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -82,10 +88,27 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    chunk_size: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Band the signatures, bucket-join within (band, hash) — the one
-    shuffle. Emits candidate (a, b) pairs with a < b."""
+    """Band the signatures, bucket-join within (band, hash). Emits
+    candidate (a, b) pairs with a < b.
+
+    Skew-guarded: the within-bucket pairing goes through
+    ``skewjoin.bounded_self_join``, so a mega-cluster of near-identical
+    documents (one band bucket with millions of members) distributes
+    its pairs across many tasks, each bounded at chunk_size² pairs,
+    instead of going quadratic inside a single join partition.
+    ``max_bucket_size`` optionally refuses pairing such clusters at all
+    (they are better handled by exact-dup grouping) — when set, the
+    dropped buckets are reported by ``skewjoin.oversized_buckets`` on
+    the banded frame, never silently."""
+    from .skewjoin import DEFAULT_CHUNK_SIZE, bounded_self_join
+
     banded = sigs.select(
         id_col,
         F.explode(
@@ -108,13 +131,16 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    pairs = bounded_self_join(
+        banded,
+        ["band", "bh"],
+        id_col,
+        chunk_size=chunk_size or DEFAULT_CHUNK_SIZE,
+        max_bucket_size=max_bucket_size,
+    )
     return (
-        a.join(b, ["band", "bh"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        pairs.select(
+            F.col(f"a_{id_col}").alias("a_id"), F.col(f"b_{id_col}").alias("b_id")
         )
         .distinct()
     )

@@ -64,12 +64,23 @@ def closest_pairs(
     k: int = 15,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k most-similar pairs (embedding-cosine near-dup, the
     correctness baseline): self-join a<b, double-precision cosine,
-    global top-k. O(n²) — correct at oracle scale; the LSH-bucketed
-    variant (hyperplane_signatures + within-bucket scoring) is the
-    10^12-row path that reduces candidates before this exact scorer."""
+    global top-k. O(n²) BY DESIGN — the exact oracle at bounded scale,
+    and it REFUSES larger inputs (``max_rows``; a metadata-cheap count
+    for parquet sources) rather than silently launching a 10^24-pair
+    cartesian: the scale paths are ``lsh_near_dup_pairs`` (hyperplane
+    buckets) and ``ivf_ann_topk`` (coarse quantizer)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"closest_pairs is an exact O(n^2) self-join and refuses n={n:,} "
+            f"rows (> max_rows={max_rows:,}); use lsh_near_dup_pairs or "
+            "ivf_ann_topk for corpus-scale near-dup search, or raise "
+            "max_rows explicitly if this scan size is intended"
+        )
     a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
@@ -89,22 +100,37 @@ def lsh_near_dup_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    chunk_size: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup at scale: hyperplane-LSH bucket join
-    (ONE shuffle on the bucket) → exact cosine only within buckets →
-    threshold filter. Approximate recall, exact precision."""
+    """Embedding-cosine near-dup at scale: hyperplane-LSH bucket join →
+    exact cosine only within buckets → threshold filter. Approximate
+    recall, exact precision.
+
+    Skew-guarded: the within-bucket pairing is a
+    ``skewjoin.bounded_self_join`` (per-task pair count ≤ chunk_size²),
+    so one hot bucket of near-identical embeddings cannot serialize the
+    stage. ``max_bucket_size`` optionally skips pairing such buckets —
+    report them via ``skewjoin.oversized_buckets`` on the signed frame."""
+    from .skewjoin import DEFAULT_CHUNK_SIZE, bounded_self_join
+
     sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
-    with_sig = df.join(sigs, id_col)
-    a = with_sig.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"), "lsh_bucket"
+    with_sig = df.join(sigs, id_col).select(id_col, vec_col, "lsh_bucket")
+    pairs = bounded_self_join(
+        with_sig,
+        ["lsh_bucket"],
+        id_col,
+        chunk_size=chunk_size or DEFAULT_CHUNK_SIZE,
+        max_bucket_size=max_bucket_size,
     )
-    b = with_sig.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"), "lsh_bucket"
-    )
-    pairs = a.join(b, "lsh_bucket").where(F.col("a_id") < F.col("b_id"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    va, vb = F.col(f"a_{vec_col}"), F.col(f"b_{vec_col}")
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
     return (
-        pairs.select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+        pairs.select(
+            F.col(f"a_{id_col}").alias("a_id"),
+            F.col(f"b_{id_col}").alias("b_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= threshold)
         .orderBy("a_id", "b_id")
     )
@@ -178,14 +204,29 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
 ) -> np.ndarray:
     """k-means centroids (L2-normalized → spherical k-means, the right
-    quantizer for cosine) from a deterministic bounded sample."""
-    rows = (
-        df.select(vec_col)
-        .orderBy(F.col(id_col))
-        .limit(sample_n)
+    quantizer for cosine) from a deterministic bounded sample.
+
+    Sampling is a HASH PREDICATE, not a global sort: rows where
+    ``xxhash64(id) % p == 0`` with ``p = n // sample_n`` — one
+    filter-only scan (the count is parquet-footer-cheap), no
+    TakeOrdered over every partition. The ~sample_n survivors are
+    ordered driver-side by (hash, id) and truncated, so the sample is
+    a pure function of the data — identical on any partitioning or
+    cluster size."""
+    n = df.count()
+    p = max(1, n // sample_n)
+    cand = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+        )
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(p)) == 0)
         .collect()
     )
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    cand.sort(key=lambda r: (r["_h"], r["_id"]))
+    rows = cand[:sample_n]
+    x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     k = min(k, len(x))
     rng = np.random.default_rng(seed)

@@ -84,6 +84,20 @@ def test_ann_topk_contains_query(spark):
     assert 5 in ids  # the query vector itself shares its own bucket
 
 
+def test_closest_pairs_refuses_unbounded_cartesian(spark):
+    """The exact O(n²) baseline must refuse inputs past max_rows with a
+    pointer at the scale paths, not silently launch the cartesian."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        similarity.closest_pairs(df, k=3, max_rows=10)
+    # within the bound it still answers exactly
+    got = similarity.closest_pairs(df, k=1, max_rows=100).collect()
+    assert len(got) == 1
+
+
 def test_textstats_known_answers(docs):
     tok = {r["doc_id"]: r["n_tokens"] for r in textstats.token_count(docs).collect()}
     assert tok[1] == 6 and tok[6] == 0

@@ -132,6 +132,31 @@ def test_estimate_input_rows_parquet_and_memory(spark, tmp_path):
     assert estimate_input_rows(spark, spark.read.parquet(pq)) == 456
 
 
+def test_drop_exact_dups_shuffles_on_hash_not_text(spark):
+    """The dedup window's shuffle key must LEAD with xxhash64(text) so
+    routing/sorting works on 8-byte longs; the raw text column appears
+    in the key only as the collision tiebreak (VERDICT r02 #2)."""
+    from parquet_converter_spark.operators.dedup import drop_exact_dups
+
+    df = spark.createDataFrame(
+        [(i, f"document body {i % 7}") for i in range(50)], "doc_id long, text string"
+    )
+    plan = drop_exact_dups(df)._jdf.queryExecution().executedPlan().toString()
+    # the hash is computed in a Project and leads the shuffle key: the
+    # plan shows hashpartitioning(_w0, text) where _w0 = xxhash64(text)
+    assert "xxhash64(text" in plan, plan
+    import re
+
+    m = re.search(r"hashpartitioning\((\w+)#\d+L?, (\w+)#", plan)
+    assert m, plan
+    first_key, second_key = m.group(1), m.group(2)
+    assert first_key.startswith("_w"), plan  # projected hash leads the key
+    assert second_key == "text", plan  # full text rides as the tiebreak
+    # semantics unchanged: lowest id per distinct text survives
+    got = sorted(r["doc_id"] for r in drop_exact_dups(df).collect())
+    assert got == list(range(7))
+
+
 def test_ivf_assign_and_embcodec_are_shuffle_free(spark):
     """Scan-parallel operators must not Exchange: IVF cell assignment is
     one matmul per Arrow batch; codec metrics emit one row per batch."""
