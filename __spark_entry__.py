@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
     from parquet_converter_spark.synth import synth_pandas
     from parquet_converter_spark.tableio import ParquetDirTableIO
-    from parquet_converter_spark.verify import verify_decode
+    from parquet_converter_spark.verify import verify_decode_digest
 
     tmp = tempfile.mkdtemp(prefix="pcs_entry_")
     try:
@@ -59,7 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
         io = ParquetDirTableIO(spark, tmp)
         encode_table(spark, df, io, run_id="entry", salt_rows=2048, num_buckets=8)
         decoded = decode_table(spark, io)
-        result = verify_decode(decoded, df)
+        # digest mode: the at-scale default (scan-cost, no corpus
+        # shuffle); verify_decode remains the forensic join mode
+        result = verify_decode_digest(decoded, df)
         if not result["ok"]:
             raise AssertionError(f"decode not bit-identical: {result}")
         metrics = (
@@ -358,6 +360,53 @@ def _q_embedding_compression(spark, sf):
     )
 
 
+def _q_decode_error_isolation(spark, sf):
+    """Rows-only: decode resilience (O2 analog on the read path). Encode
+    a deterministic corpus, truncate ONE committed block's text payload
+    on disk (victim = first block in (bucket, salt, chunk) order — a
+    pure function of the data), then decode with on_error='skip' and
+    scan with corrupt_blocks. Row counts are machine-stable because
+    synth, salting, and block chunking are all deterministic."""
+    from parquet_converter_spark import checkpoint as ckpt
+    from parquet_converter_spark.decode_job import corrupt_blocks, decode_table
+    from parquet_converter_spark.encode_job import encode_table
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.synth import synth_pandas
+    from parquet_converter_spark.tableio import ParquetDirTableIO
+
+    tmp = tempfile.mkdtemp(prefix="pcs_errq_")
+    try:
+        df = spark.createDataFrame(synth_pandas(n_convs=40, seed=7), schema=TRANSCRIPT_SCHEMA)
+        io = ParquetDirTableIO(spark, tmp)
+        encode_table(spark, df, io, run_id="errq", salt_rows=1024, num_buckets=4)
+        blocks_schema = io.read(ckpt.BLOCKS).schema
+        blocks = (
+            io.read(ckpt.BLOCKS)
+            .toPandas()
+            .sort_values(["bucket", "salt", "chunk"])
+            .reset_index(drop=True)
+        )
+        n_lost = int(blocks.loc[0, "n_rows"])
+        blocks.loc[0, "text_blk"] = bytes(blocks.loc[0, "text_blk"])[:7]
+        io.overwrite(
+            spark.createDataFrame(blocks, schema=blocks_schema),
+            ckpt.BLOCKS,
+            compression="uncompressed",
+        )
+        total = int(df.count())
+        decoded_n = int(decode_table(spark, io, on_error="skip").count())
+        bad = corrupt_blocks(spark, io).select("column").collect()
+        assert total - decoded_n == n_lost  # all-or-nothing per block
+        return spark.createDataFrame(
+            [(total, decoded_n, total - decoded_n, len(bad),
+              bad[0]["column"] if bad else None)],
+            "total_rows long, decoded_rows long, lost_rows long, "
+            "corrupt_block_cols long, corrupt_column string",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_media_stats(spark, sf):
     """Multimodal metadata aggregation (payload column pruned)."""
     from parquet_converter_spark.operators import multimodal
@@ -433,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_near_dup_pairs": _q_lsh_near_dup_pairs,
         # rows-only: engine codecs + seeded-hash ops
         "codec_roundtrip_metrics": _q_codec_roundtrip_metrics,
+        "decode_error_isolation": _q_decode_error_isolation,
         "minhash_dup_candidates": _q_minhash_dup_candidates,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "doc_fingerprints": _q_doc_fingerprints,

@@ -38,7 +38,7 @@ def main() -> int:
     from parquet_converter_spark.session import get_spark
     from parquet_converter_spark.synth import synth_distributed
     from parquet_converter_spark.tableio import ParquetDirTableIO
-    from parquet_converter_spark.verify import verify_decode
+    from parquet_converter_spark.verify import verify_decode, verify_decode_digest
 
     spark = get_spark(app="pcs-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,6 +75,16 @@ def main() -> int:
         queries["decode_verify"] = round(t_decode_verify, 3)
         if not result["ok"]:
             print(json.dumps({"metric": "FAILED_VERIFY", "value": -1, "unit": "sec", "detail": result}))
+            return 1
+
+        # scan-cost digest verify (the at-scale default since r3) —
+        # benched ALONGSIDE the join mode, not instead of it, so the
+        # decode_verify series stays comparable across rounds
+        t0 = time.time()
+        dresult = verify_decode_digest(decode_table(spark, io), df)
+        queries["decode_verify_digest"] = round(time.time() - t0, 3)
+        if not dresult["ok"]:
+            print(json.dumps({"metric": "FAILED_DIGEST_VERIFY", "value": -1, "unit": "sec", "detail": dresult}))
             return 1
 
         ref_bytes = write_reference_parquet(df, os.path.join(tmp, "ref"))

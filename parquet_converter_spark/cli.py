@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     vp = sub.add_parser("verify", help="bit-identical check: decode vs source")
     vp.add_argument("--input", required=True)
     vp.add_argument("--out", required=True)
+    vp.add_argument(
+        "--mode", default="digest", choices=["digest", "join", "multiset"],
+        help="digest = scan-cost hash compare (the at-scale default); "
+        "join = full-outer forensic mode (per-column mismatch COUNTS, "
+        "shuffles both corpora); multiset = join variant for dup-key inputs",
+    )
 
     rp = sub.add_parser("report", help="manifest/metrics summary (reference: conversion_report.json)")
     rp.add_argument("--out", required=True)
@@ -200,11 +206,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "verify":
         from .decode_job import decode_table
         from .schema import TRANSCRIPT_SCHEMA
-        from .verify import verify_decode
+        from .verify import verify_decode, verify_decode_digest, verify_decode_multiset
 
+        fn = {
+            "digest": verify_decode_digest,
+            "join": verify_decode,
+            "multiset": verify_decode_multiset,
+        }[args.mode]
         ref = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(args.input)
         decoded = decode_table(spark, _io(spark, args.out))
-        result = verify_decode(decoded, ref)
+        result = fn(decoded, ref)
+        result["mode"] = args.mode
         print(json.dumps(result))
         return 0 if result["ok"] else 1
 

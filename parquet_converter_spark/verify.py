@@ -1,10 +1,21 @@
 """Bit-identical decode verification (north_rule).
 
-Distributed equality check in ONE pass: full-outer equi-join decoded
-vs reference on (conv_id, turn_idx) (SURVEY.md §2.6), then a single
-aggregate that yields per-column mismatch counters (null-safe <=>),
-both row counts, and the join coverage — so the decode pipeline (the
-dominant cost) executes exactly once per verify, not once per counter.
+Three modes, one invariant:
+
+* ``verify_decode_digest`` — the 100 TB DEFAULT: order-independent
+  per-column hash digests, two scans, zero joins (the full-outer mode
+  shuffles ~2× the corpus including text bodies just to prove
+  equality; the digest proves the same multiset identity at scan
+  cost).
+* ``verify_decode`` — forensic mode: full-outer equi-join on
+  (conv_id, turn_idx) (SURVEY.md §2.6) + ONE aggregate yielding
+  per-column mismatch COUNTS — run it after a digest mismatch to
+  localize the damage.
+* ``verify_decode_multiset`` — join variant for inputs whose key may
+  legitimately repeat.
+
+The join modes run the decode pipeline (the dominant cost) exactly
+once per verify, not once per counter.
 
 Key contract: (conv_id, turn_idx) is unique per side — the engine's
 own decode output is unique by construction (encode groups sort on the
@@ -69,6 +80,72 @@ def verify_decode(decoded: DataFrame, reference: DataFrame) -> dict:
         all(result[c] == 0 for c in VALUE_COLUMNS)
         and result["joined_rows"] == result["reference_rows"] == result["decoded_rows"]
         and not result["dup_keys"]
+    )
+    return result
+
+
+def _digest_frame(df: DataFrame) -> DataFrame:
+    """One scan → per-column order-independent digests.
+
+    For each value column: sum and bit_xor of
+    ``xxhash64(col_name, conv_id, turn_idx, col)`` over all rows (the
+    column name seeds the hash so columns can't alias), plus a key-only
+    digest and the row count. The sum runs in decimal(38,0) — ANSI mode
+    is on and a long sum of 10^12 hashes would overflow-throw; decimal
+    has 38 digits ≈ 126 bits of headroom. sum + xor + count together
+    make accidental cancellation (two corruptions xor-ing away)
+    astronomically unlikely while staying pure map-side aggregation.
+    """
+    keyh = F.xxhash64(F.lit("__key__"), *[F.col(k) for k in KEY_COLUMNS])
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(keyh.cast("decimal(38,0)")).alias("key_sum"),
+        F.bit_xor(keyh).alias("key_xor"),
+    ]
+    for c in VALUE_COLUMNS:
+        h = F.xxhash64(F.lit(c), *[F.col(k) for k in KEY_COLUMNS], F.col(c))
+        aggs.append(F.sum(h.cast("decimal(38,0)")).alias(f"sum_{c}"))
+        aggs.append(F.bit_xor(h).alias(f"xor_{c}"))
+    return df.agg(*aggs)
+
+
+def _side_digests(df: DataFrame):
+    return _digest_frame(df).collect()[0]
+
+
+def verify_decode_digest(decoded: DataFrame, reference: DataFrame) -> dict:
+    """Scan-cost verification (the 100 TB default): order-independent
+    per-column hash digests compared across sides — TWO scans, ZERO
+    joins, no shuffle of document text. The full-outer ``verify_decode``
+    shuffles the entire decoded + reference corpus (≈2× data volume) to
+    prove equality; this proves the same multiset equality at scan cost
+    and keeps the join as the forensic mode for localizing a mismatch.
+
+    Result shape mirrors ``verify_decode``: per-column values are 0/1
+    MISMATCH FLAGS (a digest can detect, not count), plus both row
+    counts and ``ok``. Exact multiset semantics: row order, duplicate
+    keys, and null placement all affect the digests identically on both
+    sides.
+
+    Reference analog: _verify_conversion's cheap re-scan
+    (/root/reference/parquet_converter/converter.py:658-707) — shape
+    check there, multiset value-identity here.
+    """
+    d = _side_digests(decoded.select(*KEY_COLUMNS, *VALUE_COLUMNS))
+    r = _side_digests(reference.select(*KEY_COLUMNS, *VALUE_COLUMNS))
+    result = {
+        c: int(d[f"sum_{c}"] != r[f"sum_{c}"] or d[f"xor_{c}"] != r[f"xor_{c}"])
+        for c in VALUE_COLUMNS
+    }
+    result["decoded_rows"] = int(d["rows"] or 0)
+    result["reference_rows"] = int(r["rows"] or 0)
+    result["key_digest_match"] = bool(
+        d["key_sum"] == r["key_sum"] and d["key_xor"] == r["key_xor"]
+    )
+    result["ok"] = (
+        all(result[c] == 0 for c in VALUE_COLUMNS)
+        and result["decoded_rows"] == result["reference_rows"]
+        and result["key_digest_match"]
     )
     return result
 

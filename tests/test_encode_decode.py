@@ -15,7 +15,7 @@ from parquet_converter_spark.reference import dir_parquet_bytes, write_reference
 from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
 from parquet_converter_spark.synth import synth_pandas
 from parquet_converter_spark.tableio import ParquetDirTableIO
-from parquet_converter_spark.verify import verify_decode
+from parquet_converter_spark.verify import verify_decode, verify_decode_digest
 
 
 @pytest.fixture(scope="module")
@@ -128,9 +128,9 @@ def test_pandas_and_arrow_paths_agree(spark, transcripts, tmp_path_factory):
     encode_table(spark, transcripts, io_p, run_id="r", salt_rows=2048, num_buckets=4, arrow_native=False)
     # cross-decode: arrow-written blocks through the pandas decoder
     dec_cross = decode_table(spark, io_a, arrow_native=False)
-    assert verify_decode(dec_cross, transcripts)["ok"]
+    assert verify_decode_digest(dec_cross, transcripts)["ok"]  # scan-cost mode
     dec_p = decode_table(spark, io_p, arrow_native=True)
-    assert verify_decode(dec_p, transcripts)["ok"]
+    assert verify_decode_digest(dec_p, transcripts)["ok"]
 
 
 def test_column_projected_decode(spark, transcripts, tmp_path_factory):

@@ -229,3 +229,46 @@ def test_ivf_assign_deterministic_and_parallel(spark):
     }
     assert a1 == a2  # assignment independent of partitioning
     assert set(a1.values()) <= set(range(4))
+
+
+def test_decode_error_isolation_known_answer(spark):
+    """The rows-only decode_error_isolation query, recomputed
+    independently: total rows from the pristine decode, lost rows from
+    the victim block's n_rows read straight off the blocks table —
+    both derived WITHOUT the query's own arithmetic."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entrymod
+
+    row = entrymod._q_decode_error_isolation(spark, "").collect()[0]
+
+    # independent recomputation of the expected victim size
+    import tempfile
+
+    from parquet_converter_spark import checkpoint as ckpt
+    from parquet_converter_spark.encode_job import encode_table
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.synth import synth_pandas
+    from parquet_converter_spark.tableio import ParquetDirTableIO
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf = synth_pandas(n_convs=40, seed=7)
+        df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+        io = ParquetDirTableIO(spark, tmp)
+        encode_table(spark, df, io, run_id="ka", salt_rows=1024, num_buckets=4)
+        blocks = (
+            io.read(ckpt.BLOCKS)
+            .select("bucket", "salt", "chunk", "n_rows")
+            .orderBy("bucket", "salt", "chunk")
+            .collect()
+        )
+        expected_lost = int(blocks[0]["n_rows"])
+        expected_total = len(pdf)
+
+    assert row["total_rows"] == expected_total
+    assert row["lost_rows"] == expected_lost
+    assert row["decoded_rows"] == expected_total - expected_lost
+    assert row["corrupt_block_cols"] == 1
+    assert row["corrupt_column"] == "text"

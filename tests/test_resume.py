@@ -12,7 +12,7 @@ from parquet_converter_spark.encode_job import encode_table
 from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
 from parquet_converter_spark.synth import synth_pandas
 from parquet_converter_spark.tableio import ParquetDirTableIO
-from parquet_converter_spark.verify import verify_decode
+from parquet_converter_spark.verify import verify_decode, verify_decode_digest
 
 
 @pytest.fixture(scope="module")
@@ -211,7 +211,7 @@ def test_partial_commit_replay_skips_committed_groups(spark, transcripts, tmp_pa
     assert manifest.count() == manifest.select("bucket", "salt").distinct().count()
     assert s1["rows"] + s2["rows"] == transcripts.count()
     decoded = decode_table(spark, io)
-    assert verify_decode(decoded, transcripts)["ok"]
+    assert verify_decode_digest(decoded, transcripts)["ok"]  # equality-only: digest mode
 
 
 def test_run_id_rejects_reserved_separator(spark, transcripts, tmp_path_factory):
