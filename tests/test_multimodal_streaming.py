@@ -111,6 +111,85 @@ def test_stream_encode_micro_batches(spark, tmp_path):
     assert got == want
 
 
+def _write_session_landing(spark, landing):
+    """Three files = three micro-batches, event times spread so the
+    watermark provably passes conv 'a's gap: a@t0..t0+10s (file 1),
+    b@t0+100s (file 2 — watermark jumps past a.last+gap), c@t0+1000s
+    (file 3). File mtimes are pinned so the source's batch order is
+    identical on every run."""
+    import os
+    from datetime import datetime, timezone
+
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+
+    t0 = 1_700_000_000
+
+    def ts(sec):
+        return datetime.fromtimestamp(t0 + sec, tz=timezone.utc).replace(tzinfo=None)
+
+    files = [
+        [("a", 0, "user", "hi", None, ts(0)), ("a", 1, "assistant", "yo", None, ts(10))],
+        [("b", 0, "user", "later", None, ts(100))],
+        [("c", 0, "user", "much later", None, ts(1000))],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        # pin mtimes in write order so FileStreamSource batches identically
+        parts = [
+            os.path.join(landing, f) for f in os.listdir(landing) if f.endswith(".parquet")
+        ]
+        newest = max(parts, key=os.path.getmtime)
+        os.utime(newest, (1_000_000_000 + i, 1_000_000_000 + i))
+    return t0
+
+
+def _run_event_time_sessions(spark, landing, ckpt_dir, name, gap_seconds=30):
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.streaming.stateful import conversation_sessions_event_time
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        conversation_sessions_event_time(stream, gap_seconds=gap_seconds, late="10 seconds")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(
+        tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+
+
+def test_event_time_sessions_replay_deterministic(spark, tmp_path):
+    """EventTimeTimeout (VERDICT r02 #5): replaying the same landing
+    files through a FRESH checkpoint yields identical emitted rows —
+    including which sessions closed — because closure is a function of
+    event-time watermarks, not wall-clock."""
+    landing = str(tmp_path / "landing")
+    _write_session_landing(spark, landing)
+
+    run1 = _run_event_time_sessions(spark, landing, str(tmp_path / "ck1"), "ev_sessions_1")
+    run2 = _run_event_time_sessions(spark, landing, str(tmp_path / "ck2"), "ev_sessions_2")
+    assert run1 == run2, (run1, run2)
+
+    # conv 'a' must have CLOSED: after file 2 the watermark is
+    # t0+100-10 = t0+90 > a.last(t0+10)+gap(30); its closed row carries
+    # the full session stats
+    closed = [r for r in run1 if r[6] is True]
+    assert any(r[0] == "a" and r[1] == 2 and r[2] == 1 and r[3] == 1 for r in closed), run1
+    a_closed = next(r for r in closed if r[0] == "a")
+    assert a_closed[5] - a_closed[4] == 10  # last_ts - first_ts in seconds
+
+
 def test_stateful_conversation_sessions(spark, tmp_path):
     """applyInPandasWithState: per-conversation state accumulates ACROSS
     micro-batches (two landing files → the second batch's emitted rows
