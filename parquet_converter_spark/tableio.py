@@ -82,6 +82,14 @@ def namespace_for_root(root: str) -> str:
     return f"db_{base}_{crc:08x}"
 
 
+#: storage-layer partition specs applied at Iceberg table CREATION:
+#: the blocks table partitions by hash bucket, so a bucket-selective
+#: decode (decode_table(buckets=[...]) / decode_conversation's pruned
+#: point lookup) becomes file-level partition pruning in the catalog
+#: instead of a row-filter over every data file
+ICEBERG_PARTITION_SPECS: dict[str, list[str]] = {"blocks": ["bucket"]}
+
+
 class IcebergTableIO:
     """Iceberg catalog tables (requires iceberg-spark-runtime on the
     classpath — not present in this sandbox; exercised on a real
@@ -131,17 +139,31 @@ class IcebergTableIO:
     def read(self, name: str, schema=None) -> DataFrame:
         return self.spark.table(self._ident(name))
 
+    def _writer(self, df: DataFrame, name: str):
+        """writeTo builder with the table's partition spec attached —
+        only meaningful at create/replace time (Iceberg keeps the spec
+        in table metadata afterwards)."""
+        from pyspark.sql import functions as F
+
+        w = df.writeTo(self._ident(name))
+        cols = ICEBERG_PARTITION_SPECS.get(name)
+        if cols:
+            w = w.partitionedBy(*[F.col(c) for c in cols])
+        return w
+
     def append(self, df: DataFrame, name: str, compression: str = "uncompressed") -> None:
         self._ensure_namespace()
         # parquet-dir append semantics: first append creates the table
+        # (with its partition spec — bucket-partitioned blocks make
+        # selective decode a storage-level prune)
         if not self.exists(name):
-            df.writeTo(self._ident(name)).create()
+            self._writer(df, name).create()
         else:
             df.writeTo(self._ident(name)).append()
 
     def overwrite(self, df: DataFrame, name: str, compression: str = "snappy") -> None:
         self._ensure_namespace()
-        df.writeTo(self._ident(name)).createOrReplace()
+        self._writer(df, name).createOrReplace()
 
 
 #: conventional catalog name for auto-selected Iceberg roots

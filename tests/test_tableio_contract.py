@@ -32,6 +32,8 @@ from parquet_converter_spark.verify import verify_decode
 class MemCatalog:
     def __init__(self):
         self.tables: dict[str, DataFrame] = {}
+        #: ident -> partition column strings recorded at create/replace
+        self.partitions: dict[str, list[str]] = {}
 
 
 class FakeSpark:
@@ -76,6 +78,12 @@ def fake_iceberg(spark, monkeypatch):
     class FakeWriter:
         def __init__(self, df, ident):
             self.df, self.ident = df, ident
+            self._partition_cols: list[str] = []
+
+        def partitionedBy(self, *cols):
+            # mirror the real builder: chainable, remembered until create
+            self._partition_cols = [str(c) for c in cols]
+            return self
 
         def append(self):
             new = self.df.localCheckpoint(eager=True)
@@ -86,9 +94,11 @@ def fake_iceberg(spark, monkeypatch):
             if self.ident in cat.tables:
                 raise ValueError(f"table exists: {self.ident}")
             cat.tables[self.ident] = self.df.localCheckpoint(eager=True)
+            cat.partitions[self.ident] = self._partition_cols
 
         def createOrReplace(self):
             cat.tables[self.ident] = self.df.localCheckpoint(eager=True)
+            cat.partitions[self.ident] = self._partition_cols
 
     monkeypatch.setattr(tableio, "iceberg_available", lambda s: True)
     # PySpark 4 routes df.writeTo through the concrete classic class —
@@ -151,6 +161,25 @@ def test_iceberg_basic_contract(fake_iceberg, transcripts):
     assert io.read("t").count() == 8  # append accumulates
     io.overwrite(transcripts.limit(2), "t")
     assert io.read("t").count() == 2  # overwrite replaces
+
+
+def test_iceberg_blocks_table_partitioned_by_bucket(fake_iceberg, transcripts):
+    """VERDICT r02 #7: when Iceberg is active, the blocks table must be
+    created partitionedBy(bucket) so bucket-selective decode prunes at
+    the storage layer; manifest/metrics stay unpartitioned (tiny)."""
+    fspark, cat = fake_iceberg
+    io = IcebergTableIO(fspark, "engine_cat", "db_part")
+    encode_table(
+        transcripts.sparkSession, transcripts, io, run_id="r1",
+        salt_rows=512, num_buckets=4,
+    )
+    blocks_ident = io._ident("blocks")
+    assert blocks_ident in cat.partitions
+    assert any("bucket" in c for c in cat.partitions[blocks_ident]), cat.partitions
+    for name in ("manifest", "metrics"):
+        ident = io._ident(name)
+        if ident in cat.partitions:
+            assert cat.partitions[ident] == [], cat.partitions
 
 
 def test_iceberg_encode_resume_decode_parity(fake_iceberg, transcripts, tmp_path):
