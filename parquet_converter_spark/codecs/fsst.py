@@ -336,12 +336,15 @@ class FsstCodec:
 
     name = "fsst"
 
-    #: compression kernel: "regex" (default — ONE C-level scan over the
-    #: buffer; Python runs per MATCH, never per row/byte; 4-8 MB/s) or
-    #: "numpy" (pure vectorized ops end to end: prefix-bucket dispatch,
-    #: per-symbol slice verification, exact-greedy tokenization via
-    #: pointer-doubling reachability; identical output ratio).
-    kernel = "regex"
+    #: compression kernel: "numpy" (default — pure vectorized ops end
+    #: to end: prefix-bucket dispatch, per-symbol slice verification,
+    #: exact-greedy tokenization via pointer-doubling reachability) or
+    #: "regex" (ONE C-level scan; Python runs per MATCH, never per
+    #: row/byte). Measured on real payloads (r3, BENCH/BASELINE.md):
+    #: identical ratio on both corpora; numpy ~13% faster on 12 MB of
+    #: transcript text (4.93 s vs 5.69 s best-rep) and equal ±2% on the
+    #: sf0.1 documents text — so numpy is the default.
+    kernel = "numpy"
 
     def encode_strs(self, lengths: np.ndarray, data: bytes) -> bytes:
         symbols = build_symbol_table(data)
