@@ -295,6 +295,20 @@ def _q_minhash_dup_candidates(spark, sf):
     )
 
 
+def _q_near_dup_clusters(spark, sf):
+    """Near-dup CLUSTER resolution (rows-only): candidate pairs alone
+    don't dedup a corpus — (a,b) and (b,c) imply {a,b,c} is one group.
+    MinHash → LSH candidates → Jaccard gate → iterative min-label
+    connected components; each clustered doc maps to its component's
+    min doc_id. Known-answer: union-find recomputation in
+    tests/test_known_answers.py."""
+    docs = _t(spark, sf, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dedup.ngram_jaccard(docs, cand).where(F.col("jaccard") >= 0.5)
+    return dedup.dup_clusters(pairs).orderBy("node")
+
+
 def _q_simhash_fingerprints(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents")).orderBy("doc_id")
 
@@ -484,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip_metrics": _q_codec_roundtrip_metrics,
         "decode_error_isolation": _q_decode_error_isolation,
         "minhash_dup_candidates": _q_minhash_dup_candidates,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "doc_fingerprints": _q_doc_fingerprints,
         "lang_id_pred": _q_lang_id_pred,

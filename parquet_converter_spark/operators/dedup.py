@@ -165,6 +165,93 @@ def ngram_jaccard(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into CLUSTERS: each node maps to
+    the minimum id of its connected component (``(node, cluster_id)``).
+
+    Pairs are necessary but not sufficient for dedup — (a,b) and (b,c)
+    near-dups imply {a,b,c} is one duplicate group even if (a,c) never
+    surfaced as a candidate. This is iterative min-label propagation
+    (the GraphX/Pregel connected-components shape): per round, every
+    node takes the min label among itself and its neighbors — one join
+    + one aggregate per round, converging in O(component diameter)
+    rounds. LSH candidate graphs are locally dense (near-cliques), so
+    diameter is small; ``max_iter`` bounds the driver loop and raises
+    rather than silently returning partial components. Lineage is cut
+    every round via localCheckpoint so plans don't grow unboundedly.
+
+    The driver-side loop is control flow only — all data movement is
+    distributed (one shuffle per round, keyed on node id).
+    """
+    src, dst = F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    fwd = pairs.select(src, dst)
+    edges = fwd.union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("min_nbr"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("min_nbr")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # neighbor labels: for each node, the min label among neighbors
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds — the pair "
+        "graph has a component of diameter > max_iter; raise max_iter"
+    )
+
+
+def near_dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The near-dup-cleaned corpus: drop every document that belongs to
+    a duplicate cluster but is not its minimum-id representative.
+    Unclustered documents (no candidate pair) all survive. One
+    broadcast-able anti-join when the clustered set is small relative
+    to the corpus (the common case), else a plain shuffled anti-join —
+    Spark's size estimate decides."""
+    clusters = dup_clusters(pairs)
+    losers = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash: per-token xxhash64, majority vote per bit.
 

@@ -272,3 +272,52 @@ def test_decode_error_isolation_known_answer(spark):
     assert row["decoded_rows"] == expected_total - expected_lost
     assert row["corrupt_block_cols"] == 1
     assert row["corrupt_column"] == "text"
+
+
+def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_dup_clusters_known_answer(spark):
+    """Min-label propagation vs plain union-find on a random graph with
+    path-shaped components (worst case for propagation depth) plus
+    singleton pairs."""
+    rng = np.random.default_rng(11)
+    pairs = []
+    # three path components: 0-1-2-...-9, 100-101-...-107, 200-201
+    for base, ln in ((0, 10), (100, 8), (200, 2)):
+        pairs += [(base + i, base + i + 1) for i in range(ln - 1)]
+    # random extra edges inside the first component (chords)
+    for _ in range(5):
+        a, b = sorted(rng.choice(10, size=2, replace=False).tolist())
+        if a != b:
+            pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {r["node"]: r["cluster_id"] for r in dedup.dup_clusters(df).collect()}
+    assert got == _union_find_components(pairs)
+
+
+def test_near_dedup_corpus_keeps_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (6, 7)], "a_id long, b_id long")
+    kept = sorted(
+        r["doc_id"] for r in dedup.near_dedup_corpus(docs, pairs).collect()
+    )
+    # clusters {0,3,5} -> keep 0; {6,7} -> keep 6; singletons 1,2,4 survive
+    assert kept == [0, 1, 2, 4, 6]
