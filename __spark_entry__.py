@@ -27,7 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_converter_spark.functions import casts
-from parquet_converter_spark.operators import dedup, profile, similarity, textstats, windows
+from parquet_converter_spark.operators import (
+    dedup,
+    profile,
+    sampling,
+    similarity,
+    textstats,
+    windows,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -263,6 +270,37 @@ def _q_quality_scores(spark, sf):
     return textstats.quality_score(_t(spark, sf, "documents"))
 
 
+#: dataset-mixing rates / split fractions shared by the Spark queries
+#: and their oracle SQL (thresholds rendered identically via
+#: sampling._hex_threshold so there is no float seam between engines)
+_MIX_RATES = {"en": 1.0, "de": 0.25, "fr": 0.5}
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_stratified_sample_counts(spark, sf):
+    """Deterministic per-language corpus mixing: md5-hash-predicate
+    sampling at per-stratum rates, shuffle-free filter."""
+    docs = _t(spark, sf, "documents")
+    return (
+        sampling.stratified_sample(docs, "lang", _MIX_RATES, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept"))
+        .orderBy("lang")
+    )
+
+
+def _q_hash_split_counts(spark, sf):
+    """Reproducible train/val/test split sizes (hash-interval split —
+    same key lands in the same split on any engine or cluster size)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        sampling.hash_split(docs, "doc_id", _SPLIT_FRACTIONS)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
 def _q_lang_distribution(spark, sf):
     return textstats.lang_distribution(_t(spark, sf, "documents"))
 
@@ -487,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         "quality_scores": _q_quality_scores,
         "lang_distribution": _q_lang_distribution,
+        "stratified_sample_counts": _q_stratified_sample_counts,
+        "hash_split_counts": _q_hash_split_counts,
         "ann_topk_cosine": _q_ann_topk_cosine,
         "embedding_norms": _q_embedding_norms,
         "event_run_counts": _q_event_run_counts,
@@ -512,6 +552,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stop_en = ", ".join(f"'{w}'" for w in textstats.STOPWORDS_EN)
+    hx = sampling._hex_threshold  # identical literals on both engines
+    mix_pred = " OR ".join(
+        f"(lang = '{s}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{hx(r)}')"
+        for s, r in _MIX_RATES.items()
+    )
+    bounds, lo = [], 0.0
+    for label, frac in _SPLIT_FRACTIONS.items():
+        bounds.append((label, hx(lo), hx(lo + frac)))
+        lo += frac
+    split_case = "CASE " + " ".join(
+        f"WHEN p >= '{a}' AND p < '{b}' THEN '{label}'" for label, a, b in bounds
+    ) + " END"
     return {
         "row_count": "SELECT COUNT(*) AS cnt FROM lineitem",
         "distinct_count": "SELECT COUNT(DISTINCT l_partkey) AS uniq FROM lineitem",
@@ -639,6 +691,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id""".replace("{stop}", stop_en),
         "lang_distribution": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang""",
+        "stratified_sample_counts": f"""
+            SELECT lang, COUNT(*) AS kept FROM documents
+            WHERE {mix_pred}
+            GROUP BY lang ORDER BY lang""",
+        "hash_split_counts": f"""
+            SELECT split, COUNT(*) AS n FROM (
+              SELECT {split_case} AS split
+              FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS p
+                    FROM documents))
+            GROUP BY split ORDER BY split""",
         "ann_topk_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             z AS (SELECT e.vec_id,

@@ -84,6 +84,64 @@ def test_ann_topk_contains_query(spark):
     assert 5 in ids  # the query vector itself shares its own bucket
 
 
+def test_sampling_deterministic_and_rate_accurate(spark):
+    """Hash sampling: membership is a pure function of the key
+    (partitioning-independent), and realized rates concentrate near
+    the nominal fraction."""
+    from parquet_converter_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    kept1 = sorted(r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.5).collect())
+    kept2 = sorted(
+        r["doc_id"]
+        for r in sampling.hash_sample(df.repartition(7), "doc_id", 0.5).collect()
+    )
+    assert kept1 == kept2  # partitioning-independent
+    assert 900 <= len(kept1) <= 1100  # binomial concentration at n=2000
+    assert len(sampling.hash_sample(df, "doc_id", 1.0).collect()) == 2000
+    assert len(sampling.hash_sample(df, "doc_id", 0.0).collect()) == 0
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    from parquet_converter_spark.operators import sampling
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(df, "lang", {"en": 1.0, "de": 0.25}, "doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 1000  # rate 1.0 keeps every row
+    assert 180 <= counts["de"] <= 320  # ~250 expected
+    # unlisted strata drop entirely
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert sampling.stratified_sample(df2, "lang", {"en": 1.0}, "doc_id").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.stratified_sample(df, "lang", {}, "doc_id")
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from parquet_converter_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sampling.hash_split(df, "doc_id", fr).collect()
+    labels = {r["doc_id"]: r["split"] for r in out}
+    assert len(labels) == 3000  # split assigns every row exactly once
+    from collections import Counter
+
+    c = Counter(labels.values())
+    assert c.get(None, 0) <= 1  # only a 1-in-4B float-edge sliver may be null
+    assert 2200 <= c["train"] <= 2600 and 200 <= c["val"] <= 400
+    # stability: a subset keyed the same way gets the same labels
+    sub = sampling.hash_split(df.where(F.col("doc_id") < 100), "doc_id", fr).collect()
+    assert all(labels[r["doc_id"]] == r["split"] for r in sub)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.hash_split(df, "doc_id", {"a": 0.9, "b": 0.2})
+
+
 def test_closest_pairs_refuses_unbounded_cartesian(spark):
     """The exact O(n²) baseline must refuse inputs past max_rows with a
     pointer at the scale paths, not silently launch the cartesian."""
