@@ -459,6 +459,50 @@ def _q_decode_error_isolation(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_decode_time_slice(spark, sf):
+    """Rows-only: zone-map time-slice decode. Encode a deterministic
+    corpus with small chunks (many blocks), decode a fixed 5% event-time
+    window via per-block [ts_min, ts_max] skipping, and report the
+    slice size plus how many blocks the zone maps pruned. Known-answer:
+    the slice count is recomputed with a plain pandas filter in
+    tests/test_known_answers.py."""
+    from datetime import datetime, timezone
+
+    from parquet_converter_spark import checkpoint as ckpt
+    from parquet_converter_spark.decode_job import decode_time_slice
+    from parquet_converter_spark.encode_job import encode_table
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.synth import synth_pandas
+    from parquet_converter_spark.tableio import ParquetDirTableIO
+
+    tmp = tempfile.mkdtemp(prefix="pcs_slice_")
+    try:
+        pdf = synth_pandas(n_convs=50, seed=21)
+        df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+        io = ParquetDirTableIO(spark, tmp)
+        encode_table(
+            spark, df, io, run_id="slice", salt_rows=256, num_buckets=6, chunk_rows=256
+        )
+        ts = pdf["ts"]
+        span = ts.max() - ts.min()
+        lo = (ts.min() + 0.40 * span).to_pydatetime()
+        hi = (ts.min() + 0.45 * span).to_pydatetime()
+        sliced = int(decode_time_slice(spark, io, lo, hi).count())
+        blocks = ckpt.committed_blocks(io)
+        total_blocks = int(blocks.count())
+        touched = int(
+            blocks.where(
+                (F.col("ts_min") <= F.lit(hi)) & (F.col("ts_max") >= F.lit(lo))
+            ).count()
+        )
+        return spark.createDataFrame(
+            [(len(pdf), sliced, total_blocks, touched)],
+            "total_rows long, sliced_rows long, total_blocks long, touched_blocks long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_media_stats(spark, sf):
     """Multimodal metadata aggregation (payload column pruned)."""
     from parquet_converter_spark.operators import multimodal
@@ -537,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: engine codecs + seeded-hash ops
         "codec_roundtrip_metrics": _q_codec_roundtrip_metrics,
         "decode_error_isolation": _q_decode_error_isolation,
+        "decode_time_slice": _q_decode_time_slice,
         "minhash_dup_candidates": _q_minhash_dup_candidates,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_fingerprints": _q_simhash_fingerprints,

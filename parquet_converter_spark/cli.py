@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--conv-id", default=None, help="decode one conversation (bucket-pruned point lookup)")
     dp.add_argument("--on-error", default="raise", choices=["raise", "skip"],
                     help="skip = per-block error isolation (corrupt blocks drop, job survives)")
+    dp.add_argument("--ts-from", default=None,
+                    help="exact time-slice decode start (ISO timestamp; zone-map block skipping)")
+    dp.add_argument("--ts-to", default=None,
+                    help="exact time-slice decode end (ISO timestamp; requires --ts-from)")
 
     vp = sub.add_parser("verify", help="bit-identical check: decode vs source")
     vp.add_argument("--input", required=True)
@@ -191,11 +195,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "decode":
-        from .decode_job import decode_conversation, decode_table
+        from .decode_job import decode_conversation, decode_table, decode_time_slice
 
         io = _io(spark, args.out)
         if args.conv_id:
             decoded = decode_conversation(spark, io, args.conv_id, on_error=args.on_error)
+        elif args.ts_from or args.ts_to:
+            if not (args.ts_from and args.ts_to):
+                p.error("--ts-from and --ts-to must be given together")
+            from datetime import datetime
+
+            lo = datetime.fromisoformat(args.ts_from)
+            hi = datetime.fromisoformat(args.ts_to)
+            cols = args.columns.split(",") if args.columns else None
+            decoded = decode_time_slice(
+                spark, io, lo, hi, columns=cols, on_error=args.on_error
+            )
         else:
             cols = args.columns.split(",") if args.columns else None
             decoded = decode_table(spark, io, columns=cols, on_error=args.on_error)

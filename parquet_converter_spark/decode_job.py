@@ -49,6 +49,7 @@ def decode_table(
     columns: list[str] | None = None,
     arrow_native: bool = True,
     on_error: str = "raise",
+    ts_range: tuple | None = None,
 ) -> DataFrame:
     """Read committed blocks and reconstruct the transcript DataFrame.
 
@@ -58,6 +59,13 @@ def decode_table(
     ``columns`` projects a subset of columns — only those columns'
     binary blocks are READ at all (parquet column pruning on the
     blocks table), the columnar payoff of per-column blocks.
+    ``ts_range=(lo, hi)`` prunes on the per-block ZONE MAPS: only
+    blocks whose [ts_min, ts_max] interval overlaps [lo, hi] decode at
+    all (blocks with null stats — all-null ts or tables written before
+    zone maps — are kept conservatively). This is BLOCK skipping, not
+    a row filter: rows outside the range within an overlapping block
+    still decode; use ``decode_time_slice`` for the exact-slice
+    composition.
     ``on_error='skip'`` is the decode analog of encode's per-group
     error isolation (reference ignore_errors, converter.py:226-233): a
     corrupt block drops that block row's rows (ALL its columns — never
@@ -65,6 +73,7 @@ def decode_table(
     ``corrupt_blocks`` to locate and diagnose the damage.
     """
     import pyspark.sql.types as T
+    from pyspark.sql import functions as F
 
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
@@ -77,6 +86,15 @@ def decode_table(
     blocks = ckpt.committed_blocks(io)
     if buckets is not None:
         blocks = blocks.where(blocks.bucket.isin([int(b) for b in buckets]))
+    if ts_range is not None:
+        lo, hi = ts_range
+        # interval overlap; null stats (legacy/all-null blocks) pass.
+        # ts_min/ts_max are plain parquet columns, so this predicate
+        # also drives parquet row-group pruning on the blocks scan.
+        blocks = blocks.where(
+            (F.col("ts_min").isNull() | (F.col("ts_min") <= F.lit(hi)))
+            & (F.col("ts_max").isNull() | (F.col("ts_max") >= F.lit(lo)))
+        )
     blocks = blocks.select(*[f"{c}_blk" for c in cols])
     skip = on_error == "skip"
     if arrow_native:
@@ -172,6 +190,35 @@ def corrupt_blocks(spark: SparkSession, io) -> DataFrame:
     return blocks.mapInPandas(
         probe, "bucket int, salt long, chunk int, column string, error string"
     )
+
+
+def decode_time_slice(
+    spark: SparkSession,
+    io,
+    lo,
+    hi,
+    columns: list[str] | None = None,
+    arrow_native: bool = True,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Exact time-window decode: zone-map block skipping + the exact
+    row filter on the decoded output. At 10^12 turns a narrow window
+    touches only the blocks whose [ts_min, ts_max] overlap it —
+    typically a tiny fraction — instead of decoding the whole table
+    and filtering."""
+    from pyspark.sql import functions as F
+
+    cols = columns
+    if cols is not None and "ts" not in cols:
+        cols = [*cols, "ts"]  # the exact filter needs ts; keep caller's projection after
+    df = decode_table(
+        spark, io, columns=cols, arrow_native=arrow_native,
+        on_error=on_error, ts_range=(lo, hi),
+    )
+    df = df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    if columns is not None and "ts" not in columns:
+        df = df.select(*columns)
+    return df
 
 
 def decode_conversation(

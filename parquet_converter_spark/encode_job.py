@@ -67,6 +67,13 @@ def _encode_group_arrow_fn(run_id: str, codec, chunk_rows: int):
             },
             "meta": pa.array([r["meta"] for r in rows], pa.string()),
             "blk_bytes": pa.array([r["blk_bytes"] for r in rows], pa.int64()),
+            # tz=UTC: the session pins spark.sql.session.timeZone=UTC
+            # (session.py), and Spark's arrow verifier expects the
+            # session-zoned type for TimestampType output columns
+            "ts_min": pa.array([r.get("ts_min") for r in rows], pa.timestamp("us", tz="UTC")),
+            "ts_max": pa.array([r.get("ts_max") for r in rows], pa.timestamp("us", tz="UTC")),
+            "conv_min": pa.array([r.get("conv_min") for r in rows], pa.string()),
+            "conv_max": pa.array([r.get("conv_max") for r in rows], pa.string()),
             "run_id": pa.array([run_id] * len(rows), pa.string()),
         }
         return pa.table({name: cols[name] for name in out_fields})
@@ -99,6 +106,15 @@ def _encode_group_arrow_fn(run_id: str, codec, chunk_rows: int):
                     blk_bytes += len(blob)
                 row["meta"] = json.dumps(meta)
                 row["blk_bytes"] = blk_bytes
+                # zone maps: conv bounds come free from the sort; ts needs
+                # a real min/max (unsorted within a chunk). All-null ts →
+                # null stats (= "unknown", conservative keep at decode)
+                conv = part.column("conv_id")
+                row["conv_min"] = conv[0].as_py()
+                row["conv_max"] = conv[len(conv) - 1].as_py()
+                mm = pc.min_max(part.column("ts"))
+                row["ts_min"] = mm["min"].as_py()
+                row["ts_max"] = mm["max"].as_py()
                 rows.append(row)
             return _out_table(rows)
         except Exception as exc:  # noqa: BLE001 — per-group error isolation
@@ -142,6 +158,12 @@ def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
                     blk_bytes += len(blob)
                 row["meta"] = json.dumps(meta)
                 row["blk_bytes"] = blk_bytes
+                # zone maps (see arrow path): sorted conv bounds + ts min/max
+                row["conv_min"] = part["conv_id"].iloc[0]
+                row["conv_max"] = part["conv_id"].iloc[-1]
+                ts = part["ts"].dropna()
+                row["ts_min"] = ts.min() if len(ts) else None
+                row["ts_max"] = ts.max() if len(ts) else None
                 out_rows.append(row)
             out = pd.DataFrame(out_rows)
         except Exception as exc:  # noqa: BLE001 — per-group error isolation
@@ -157,6 +179,10 @@ def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
                 "n_rows": 0,
                 "meta": json.dumps({"error": repr(exc)[:2000]}),
                 "blk_bytes": 0,
+                "ts_min": None,
+                "ts_max": None,
+                "conv_min": None,
+                "conv_max": None,
             }
             for col in ENCODED_COLUMNS:
                 err_row[f"{col}_blk"] = None

@@ -33,7 +33,12 @@ COLUMN_DTYPES = {
 ENCODED_COLUMNS = list(COLUMN_DTYPES)
 
 # one row per (bucket, salt, chunk): framed binary block per column +
-# a JSON meta string with per-column codec + byte sizes
+# a JSON meta string with per-column codec + byte sizes + ZONE MAPS
+# (per-block min/max statistics — nullable so tables written before
+# they existed read as null = "unknown, keep"; decode prunes blocks
+# on them BEFORE any payload column is read, and because they are
+# plain parquet columns the blocks scan also gets parquet row-group
+# pruning on the same predicate for free)
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
@@ -46,6 +51,10 @@ BLOCKS_SCHEMA = T.StructType(
         ],
         T.StructField("meta", T.StringType(), True),
         T.StructField("blk_bytes", T.LongType(), True),
+        T.StructField("ts_min", T.TimestampType(), True),
+        T.StructField("ts_max", T.TimestampType(), True),
+        T.StructField("conv_min", T.StringType(), True),
+        T.StructField("conv_max", T.StringType(), True),
     ]
 )
 

@@ -36,6 +36,74 @@ def test_encode_decode_bit_identical(spark, transcripts, tmp_path_factory):
     assert result["ok"], result
 
 
+def test_zone_map_time_slice_prunes_blocks(spark, transcripts, tmp_path_factory):
+    """Per-block ts/conv zone maps: a narrow time-window decode must
+    (a) return exactly the rows a full-decode + filter would, and
+    (b) touch strictly fewer blocks than the table holds."""
+    from parquet_converter_spark.decode_job import decode_time_slice
+
+    out = str(tmp_path_factory.mktemp("zm"))
+    io = ParquetDirTableIO(spark, out)
+    # small chunks → many blocks → zone maps have something to skip
+    encode_table(
+        spark, transcripts, io, run_id="r1", salt_rows=256,
+        num_buckets=8, chunk_rows=256,
+    )
+    blocks = ckpt.committed_blocks(io)
+    total_blocks = blocks.count()
+    stats = blocks.agg(
+        F.min("ts_min").alias("lo"), F.max("ts_max").alias("hi"),
+        F.sum(F.col("ts_min").isNull().cast("int")).alias("null_stats"),
+    ).collect()[0]
+    assert stats["null_stats"] == 0  # synth ts never null → stats everywhere
+    span = stats["hi"] - stats["lo"]
+    lo = stats["lo"] + span * 0.40
+    hi = stats["lo"] + span * 0.45  # a 5% window
+
+    got = decode_time_slice(spark, io, lo, hi).orderBy("conv_id", "turn_idx")
+    want = (
+        decode_table(spark, io)
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .orderBy("conv_id", "turn_idx")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert got.count() > 0  # the window is non-trivial
+
+    pruned = blocks.where(
+        (F.col("ts_min") <= F.lit(hi)) & (F.col("ts_max") >= F.lit(lo))
+    ).count()
+    assert pruned < total_blocks, (pruned, total_blocks)
+
+    # conv zone maps exist and are ordered (the sort guarantees it)
+    bad = blocks.where(F.col("conv_min") > F.col("conv_max")).count()
+    assert bad == 0
+
+    # column projection composes with the slice (ts auto-added then dropped)
+    proj = decode_time_slice(spark, io, lo, hi, columns=["conv_id", "role"])
+    assert proj.columns == ["conv_id", "role"]
+    assert proj.count() == got.count()
+
+
+def test_zone_maps_identical_on_both_udf_paths(spark, transcripts, tmp_path_factory):
+    """Arrow and pandas encode paths must write the same zone maps."""
+    base = tmp_path_factory.mktemp("zmp")
+    stats = {}
+    for label, arrow in (("arrow", True), ("pandas", False)):
+        io = ParquetDirTableIO(spark, str(base / label))
+        encode_table(
+            spark, transcripts, io, run_id="r", salt_rows=512,
+            num_buckets=4, arrow_native=arrow,
+        )
+        rows = (
+            ckpt.committed_blocks(io)
+            .select("bucket", "salt", "chunk", "ts_min", "ts_max", "conv_min", "conv_max")
+            .orderBy("bucket", "salt", "chunk")
+            .collect()
+        )
+        stats[label] = [tuple(r) for r in rows]
+    assert stats["arrow"] == stats["pandas"]
+
+
 def test_encoded_size_beats_reference_footprint(spark, transcripts, tmp_path_factory):
     base = tmp_path_factory.mktemp("size")
     io = ParquetDirTableIO(spark, str(base / "enc"))

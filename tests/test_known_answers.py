@@ -321,3 +321,28 @@ def test_near_dedup_corpus_keeps_representatives(spark):
     )
     # clusters {0,3,5} -> keep 0; {6,7} -> keep 6; singletons 1,2,4 survive
     assert kept == [0, 1, 2, 4, 6]
+
+
+def test_decode_time_slice_known_answer(spark):
+    """The zone-map slice query vs a plain pandas filter over the same
+    deterministic synth frame — fully independent of the engine's
+    decode path."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entrymod
+    from parquet_converter_spark.synth import synth_pandas
+
+    row = entrymod._q_decode_time_slice(spark, "").collect()[0]
+
+    pdf = synth_pandas(n_convs=50, seed=21)
+    ts = pdf["ts"]
+    span = ts.max() - ts.min()
+    lo = ts.min() + 0.40 * span
+    hi = ts.min() + 0.45 * span
+    expected = int(((ts >= lo) & (ts <= hi)).sum())
+
+    assert row["total_rows"] == len(pdf)
+    assert row["sliced_rows"] == expected
+    assert 0 < row["touched_blocks"] < row["total_blocks"]
