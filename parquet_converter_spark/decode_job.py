@@ -50,6 +50,7 @@ def decode_table(
     arrow_native: bool = True,
     on_error: str = "raise",
     ts_range: tuple | None = None,
+    conv_range: tuple | None = None,
 ) -> DataFrame:
     """Read committed blocks and reconstruct the transcript DataFrame.
 
@@ -65,7 +66,9 @@ def decode_table(
     zone maps — are kept conservatively). This is BLOCK skipping, not
     a row filter: rows outside the range within an overlapping block
     still decode; use ``decode_time_slice`` for the exact-slice
-    composition.
+    composition. ``conv_range=(lo, hi)`` is the same block-skipping
+    test on the conv_id zone maps (sorted groups make them tight);
+    ``decode_conversation`` uses it as a point interval.
     ``on_error='skip'`` is the decode analog of encode's per-group
     error isolation (reference ignore_errors, converter.py:226-233): a
     corrupt block drops that block row's rows (ALL its columns — never
@@ -94,6 +97,14 @@ def decode_table(
         blocks = blocks.where(
             (F.col("ts_min").isNull() | (F.col("ts_min") <= F.lit(hi)))
             & (F.col("ts_max").isNull() | (F.col("ts_max") >= F.lit(lo)))
+        )
+    if conv_range is not None:
+        clo, chi = conv_range
+        # conv zone maps come free from the group sort; same
+        # null-conservative overlap test as ts_range
+        blocks = blocks.where(
+            (F.col("conv_min").isNull() | (F.col("conv_min") <= F.lit(chi)))
+            & (F.col("conv_max").isNull() | (F.col("conv_max") >= F.lit(clo)))
         )
     blocks = blocks.select(*[f"{c}_blk" for c in cols])
     skip = on_error == "skip"
@@ -246,8 +257,11 @@ def decode_conversation(
                 for nb in nbs
             }
         )
-    # tables written before table_meta existed fall back to a full scan
+    # tables written before table_meta existed fall back to a full scan;
+    # within the candidate buckets, conv zone maps prune further — only
+    # blocks whose [conv_min, conv_max] covers this id decode at all
     df = decode_table(
-        spark, io, buckets=buckets, arrow_native=arrow_native, on_error=on_error
+        spark, io, buckets=buckets, arrow_native=arrow_native,
+        on_error=on_error, conv_range=(conv_id, conv_id),
     )
     return df.where(F.col("conv_id") == conv_id)

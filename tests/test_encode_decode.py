@@ -83,6 +83,19 @@ def test_zone_map_time_slice_prunes_blocks(spark, transcripts, tmp_path_factory)
     assert proj.columns == ["conv_id", "role"]
     assert proj.count() == got.count()
 
+    # conv zone maps prune the point lookup too: a single conv_id's
+    # blocks are a strict subset, and the decoded rows are exact
+    cid = transcripts.select("conv_id").orderBy("conv_id").head()["conv_id"]
+    conv_blocks = blocks.where(
+        (F.col("conv_min") <= F.lit(cid)) & (F.col("conv_max") >= F.lit(cid))
+    ).count()
+    assert 0 < conv_blocks < total_blocks
+    got_conv = decode_table(spark, io, conv_range=(cid, cid)).where(
+        F.col("conv_id") == cid
+    )
+    want_conv = transcripts.where(F.col("conv_id") == cid)
+    assert got_conv.count() == want_conv.count() > 0
+
 
 def test_zone_maps_identical_on_both_udf_paths(spark, transcripts, tmp_path_factory):
     """Arrow and pandas encode paths must write the same zone maps."""
