@@ -87,6 +87,35 @@ def main() -> int:
             print(json.dumps({"metric": "FAILED_DIGEST_VERIFY", "value": -1, "unit": "sec", "detail": dresult}))
             return 1
 
+        # zone-map payoff: a 5% event-time window via block skipping vs
+        # the same window as full decode + row filter
+        from pyspark.sql import functions as F
+
+        from parquet_converter_spark import checkpoint as ckpt
+        from parquet_converter_spark.decode_job import decode_time_slice
+
+        bounds = ckpt.committed_blocks(io).agg(
+            F.min("ts_min").alias("lo"), F.max("ts_max").alias("hi")
+        ).collect()[0]
+        span = bounds["hi"] - bounds["lo"]
+        w_lo = bounds["lo"] + span * 0.40
+        w_hi = bounds["lo"] + span * 0.45
+        t0 = time.time()
+        sliced = decode_time_slice(spark, io, w_lo, w_hi).count()
+        queries["decode_time_slice"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        full_filtered = (
+            decode_table(spark, io)
+            .where((F.col("ts") >= F.lit(w_lo)) & (F.col("ts") <= F.lit(w_hi)))
+            .count()
+        )
+        queries["decode_full_filter"] = round(time.time() - t0, 3)
+        if sliced != full_filtered:
+            print(json.dumps({"metric": "FAILED_SLICE", "value": -1, "unit": "sec",
+                              "detail": {"sliced": sliced, "full": full_filtered}}))
+            return 1
+        extra["slice_rows"] = sliced
+
         ref_bytes = write_reference_parquet(df, os.path.join(tmp, "ref"))
         extra["turns"] = n_rows
         extra["turns_per_sec"] = round(n_rows / t_encode, 1)

@@ -28,6 +28,7 @@ def stream_encode(
     checkpoint_dir: str,
     salt_rows: int = 65_536,
     codec: str = "auto",
+    max_files_per_trigger: int = 8,
 ):
     """readStream over a landing directory → encode each micro-batch.
 
@@ -38,7 +39,7 @@ def stream_encode(
     """
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 

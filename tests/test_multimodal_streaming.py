@@ -190,6 +190,54 @@ def test_event_time_sessions_replay_deterministic(spark, tmp_path):
     assert a_closed[5] - a_closed[4] == 10  # last_ts - first_ts in seconds
 
 
+def test_streaming_epochs_give_tight_zone_maps(spark, tmp_path):
+    """The designed zone-map payoff: streaming ingest is time-clustered
+    (each epoch covers an event-time window), so per-epoch blocks get
+    tight [ts_min, ts_max] ranges and a time-slice decode of one
+    window skips the other epochs' blocks entirely. (Batch encode of a
+    hash-bucketed corpus has no time locality — there the conv zone
+    maps are the tight ones.)"""
+    from datetime import datetime, timezone
+
+    from parquet_converter_spark import checkpoint as ckpt
+    from parquet_converter_spark.decode_job import decode_time_slice
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.streaming.ingest import stream_encode
+    from parquet_converter_spark.tableio import ParquetDirTableIO
+
+    def ts(day, sec):
+        return datetime(2024, 1, day, 0, 0, sec, tzinfo=timezone.utc).replace(tzinfo=None)
+
+    landing = str(tmp_path / "landing")
+    day1 = [(f"c{i}", 0, "user", f"day1 {i}", None, ts(1, i)) for i in range(50)]
+    day2 = [(f"d{i}", 0, "user", f"day2 {i}", None, ts(8, i)) for i in range(50)]
+    spark.createDataFrame(day1, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    spark.createDataFrame(day2, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    io = ParquetDirTableIO(spark, str(tmp_path / "enc"))
+    q = stream_encode(
+        spark, landing, io, str(tmp_path / "ckpt"), salt_rows=1024,
+        max_files_per_trigger=1,  # one landing file per epoch = per day
+    )
+    q.awaitTermination(120)
+
+    blocks = ckpt.committed_blocks(io)
+    total = blocks.count()
+    lo, hi = ts(8, 0), ts(8, 59)
+    touched = blocks.where(
+        (F.col("ts_min") <= F.lit(hi)) & (F.col("ts_max") >= F.lit(lo))
+    ).count()
+    # day-8 window touches only day-2 blocks — day-1 epoch skipped whole
+    assert 0 < touched < total, (touched, total)
+    got = decode_time_slice(spark, io, lo, hi)
+    assert got.count() == 50
+    assert got.where(F.col("text").startswith("day1")).count() == 0
+
+
 def test_stateful_conversation_sessions(spark, tmp_path):
     """applyInPandasWithState: per-conversation state accumulates ACROSS
     micro-batches (two landing files → the second batch's emitted rows
