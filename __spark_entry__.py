@@ -123,6 +123,13 @@ def _q_summary_rollup(spark, sf):
     return profile.summary_rollup(_t(spark, sf, "orders"), "o_orderstatus", "o_totalprice")
 
 
+def _q_price_histogram(spark, sf):
+    """A-series histogram: 20 fixed-edge bins over l_extendedprice.
+    Edges are literals so both engines bin identically (plain IEEE
+    arithmetic, no engine-specific width_bucket)."""
+    return profile.histogram(_t(spark, sf, "lineitem"), "l_extendedprice", 900.0, 105000.0, 20)
+
+
 def _q_head_n(spark, sf):
     df = _t(spark, sf, "lineitem").select(
         "l_orderkey",
@@ -552,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_unique_pct": _q_null_unique_pct,
         "profile_all_columns": _q_profile_all_columns,
         "summary_rollup": _q_summary_rollup,
+        "price_histogram": _q_price_histogram,
         "head_n": _q_head_n,
         "tail_n": _q_tail_n,
         "sample_n": _q_sample_n,
@@ -643,6 +651,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS k, COUNT(*) AS n,
                    round(SUM(o_totalprice), 2) AS total
             FROM orders GROUP BY 1 ORDER BY k""",
+        "price_histogram": """
+            SELECT bucket, COUNT(*) AS n FROM (
+              SELECT CAST(LEAST(GREATEST(
+                       FLOOR((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                             / (105000.0 - 900.0) * 20), 0), 19) AS INT) AS bucket
+              FROM lineitem WHERE l_extendedprice IS NOT NULL)
+            GROUP BY bucket ORDER BY bucket""",
         "head_n": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                    l_returnflag, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str

@@ -82,6 +82,27 @@ def profile_all_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def histogram(df: DataFrame, col: str, lo: float, hi: float, n_bins: int) -> DataFrame:
+    """Fixed-edge histogram: bucket index + count over [lo, hi).
+
+    The bucket formula is written as plain arithmetic
+    (``floor((x - lo) / (hi - lo) * n)`` clamped to [0, n-1]) rather
+    than an engine-specific width_bucket builtin, so any engine
+    evaluating IEEE doubles with the same literals bins every value
+    identically — that is what lets the DuckDB oracle hash-match it.
+    One map-side-combined aggregate; no sort, no second pass (edges
+    are caller-supplied, e.g. from a prior numeric_profile)."""
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * F.lit(n_bins))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def summary_rollup(df: DataFrame, key: str, num: str) -> DataFrame:
     """A10 — totals over per-unit stats (reference logging.py:250-255);
     here grouped totals over an arbitrary key."""

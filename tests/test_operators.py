@@ -268,3 +268,17 @@ def test_analyzer_approx_mode(spark):
     assert abs(u - 97) <= max(3, int(97 * 0.05))
     assert abs(ap["columns"]["x"]["median"] - exact["columns"]["x"]["median"]) <= 2.0
     assert ap["columns"]["id"]["null_count"] == 0
+
+
+def test_histogram_bins_and_clamps(spark):
+    from parquet_converter_spark.operators import profile
+
+    rows = [(float(v),) for v in [-5, 0, 1, 9.9, 10, 55, 99.9, 100, 250]] + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {r["bucket"]: r["n"] for r in profile.histogram(df, "x", 0.0, 100.0, 10).collect()}
+    # -5 clamps into bin 0; 100 and 250 clamp into bin 9; null dropped
+    assert got[0] == 4   # -5, 0, 1, 9.9
+    assert got[1] == 1   # 10
+    assert got[5] == 1   # 55
+    assert got[9] == 3   # 99.9, 100, 250
+    assert sum(got.values()) == 9
