@@ -274,7 +274,7 @@ def _q_corpus_clean_pipeline(spark, sf):
 
 
 def _q_quality_scores(spark, sf):
-    return textstats.quality_score(_t(spark, sf, "documents"))
+    return textstats.quality_score(_t(spark, sf, "documents"), ordered=True)
 
 
 #: dataset-mixing rates / split fractions shared by the Spark queries
@@ -319,7 +319,7 @@ def _q_ann_topk_cosine(spark, sf):
 
 
 def _q_embedding_norms(spark, sf):
-    return similarity.embedding_norms(_t(spark, sf, "embeddings"))
+    return similarity.embedding_norms(_t(spark, sf, "embeddings"), ordered=True)
 
 
 # ---------------------------------------------------------------------------
@@ -358,12 +358,23 @@ def _q_simhash_fingerprints(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+def _q_simhash_near_dups(spark, sf):
+    """SimHash near-dup pairing (rows-only): pigeonhole-exact banded
+    prefix buckets (h+1 bands ⇒ 100% recall at hamming ≤ h) +
+    skew-bounded intra-bucket join + JVM bit_count(a^b) verify.
+    Known-answer: brute-force hamming over every fingerprint pair in
+    tests/test_known_answers.py (recall AND precision)."""
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf, "documents"), max_hamming=6
+    ).orderBy("a_id", "b_id")
+
+
 def _q_doc_fingerprints(spark, sf):
-    return textstats.fingerprint(_t(spark, sf, "documents"))
+    return textstats.fingerprint(_t(spark, sf, "documents"), ordered=True)
 
 
 def _q_lang_id_pred(spark, sf):
-    return textstats.lang_id(_t(spark, sf, "documents"))
+    return textstats.lang_id(_t(spark, sf, "documents"), ordered=True)
 
 
 def _q_event_run_counts(spark, sf):
@@ -548,6 +559,26 @@ def _q_ivf_ann_topk(spark, sf):
     )
 
 
+def _q_ivf_index_topk(spark, sf):
+    """Persisted cell-partitioned IVF index query (rows-only): build
+    once per (session tmp, sf), then every query is a PartitionFilters
+    prune over the probed cells — no retrain, no full assignment pass.
+    Known-answer (equals ad-hoc ivf_ann_topk + degenerates to exact)
+    in tests/test_known_answers.py; partition-prune plan asserted in
+    tests/test_plans.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    tag = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"pcs_ivf_idx_{tag}")
+    if not os.path.isdir(os.path.join(idx, "index_meta")):
+        similarity.ivf_build_index(spark, emb, idx, n_cells=16)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_query(spark, idx, [float(x) for x in qvec], k=10, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.4/§2.5 profiling (A1–A10, L1–L5)
@@ -593,10 +624,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_candidates": _q_minhash_dup_candidates,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_fingerprints": _q_simhash_fingerprints,
+        "simhash_near_dups": _q_simhash_near_dups,
         "doc_fingerprints": _q_doc_fingerprints,
         "lang_id_pred": _q_lang_id_pred,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "ivf_index_topk": _q_ivf_index_topk,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "embedding_compression": _q_embedding_compression,

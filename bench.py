@@ -54,11 +54,48 @@ def main() -> int:
         df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(src)
         n_rows = df.count()
 
-        # best-of-2: the sandbox VM shows 2-4x noisy-neighbor swings
-        # between back-to-back runs (see BENCH/BASELINE.md); the better
-        # rep approximates steady-state throughput. Both reps reported.
+        # VM-noise discipline (VERDICT r03 what's-wrong #1: the r3
+        # driver bench recorded a phantom -25% regression when BOTH of
+        # its 2 reps landed in a noisy-neighbor window):
+        #   1. settled pre-probe — the same numpy bandwidth kernel the
+        #      perf floors use, re-probed with 2s settles, so a known-
+        #      degraded box is recorded as such up front;
+        #   2. an UNTIMED warmup encode (first rep of a fresh session
+        #      carries Python-UDF worker boot + codec JIT);
+        #   3. best-of-3 measured reps + a rep-disagreement flag: if
+        #      max/min > 1.5x the record self-identifies as degraded
+        #      instead of standing as an official regression.
+        def _probe() -> float:
+            import numpy as np
+
+            a = np.random.default_rng(1).integers(0, 255, 8_000_000, dtype=np.uint64)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                b = (a >> np.uint64(3)) & np.uint64(7)
+                np.packbits((b & np.uint64(1)).astype(np.uint8))
+                best = min(best, time.perf_counter() - t0)
+            return max(1.0, best / 0.028)  # unloaded-sandbox baseline
+
+        pre_probe = _probe()
+        for _ in range(3):
+            if pre_probe <= 2.0:
+                break
+            time.sleep(2.0)
+            pre_probe = _probe()
+        extra["pre_probe_slowdown"] = round(pre_probe, 2)
+
+        warm_dir = os.path.join(tmp, "enc_warm")
+        encode_table(
+            spark,
+            df.limit(20_000),
+            ParquetDirTableIO(spark, warm_dir),
+            run_id="bench-warmup",
+            salt_rows=32_768,
+        )
+
         encode_reps = []
-        for rep in range(2):
+        for rep in range(3):
             enc_dir = os.path.join(tmp, f"enc{rep}")
             io = ParquetDirTableIO(spark, enc_dir)
             t0 = time.time()
@@ -67,6 +104,9 @@ def main() -> int:
         t_encode = min(encode_reps)
         queries["encode"] = t_encode
         extra["encode_reps"] = encode_reps
+        rep_spread = max(encode_reps) / min(encode_reps)
+        extra["encode_rep_spread"] = round(rep_spread, 2)
+        extra["degraded"] = bool(rep_spread > 1.5 or pre_probe > 2.0)
 
         t0 = time.time()
         decoded = decode_table(spark, io)
@@ -116,6 +156,32 @@ def main() -> int:
             return 1
         extra["slice_rows"] = sliced
 
+        # ---- time-clustered batch encode (r4): same table encoded with
+        # time_bucket=day — the ts zone maps now prune on the BATCH path
+        # (the r3 control above shows hash-bucket batch encode prunes 0%)
+        tb_dir = os.path.join(tmp, "enc_tb")
+        tb_io = ParquetDirTableIO(spark, tb_dir)
+        t0 = time.time()
+        tb_summary = encode_table(
+            spark, df, tb_io, run_id="bench-tb", salt_rows=32_768,
+            time_bucket="day",
+        )
+        queries["encode_time_bucketed"] = round(time.time() - t0, 3)
+        tb_blocks = ckpt.committed_blocks(tb_io)
+        extra["tb_total_blocks"] = tb_blocks.count()
+        extra["tb_touched_blocks"] = tb_blocks.where(
+            (F.col("ts_min").isNull() | (F.col("ts_min") <= F.lit(w_hi)))
+            & (F.col("ts_max").isNull() | (F.col("ts_max") >= F.lit(w_lo)))
+        ).count()
+        extra["tb_encoded_bytes_per_turn"] = round(tb_summary["encoded_bytes"] / n_rows, 2)
+        t0 = time.time()
+        tb_sliced = decode_time_slice(spark, tb_io, w_lo, w_hi).count()
+        queries["decode_time_slice_tb"] = round(time.time() - t0, 3)
+        if tb_sliced != full_filtered:
+            print(json.dumps({"metric": "FAILED_TB_SLICE", "value": -1, "unit": "sec",
+                              "detail": {"tb_sliced": tb_sliced, "full": full_filtered}}))
+            return 1
+
         ref_bytes = write_reference_parquet(df, os.path.join(tmp, "ref"))
         extra["turns"] = n_rows
         extra["turns_per_sec"] = round(n_rows / t_encode, 1)
@@ -137,6 +203,7 @@ def main() -> int:
             "token_count_stats",
             "minhash_dup_candidates",
             "simhash_fingerprints",
+            "simhash_near_dups",
             "embedding_compression",
             "ivf_ann_topk",
         ]:
@@ -144,6 +211,22 @@ def main() -> int:
             rows = q[name](spark, sf_dir).collect()
             queries[name] = round(time.time() - t0, 3)
             del rows
+
+        # persisted IVF index: build once (timed), then the repeated
+        # point query — the number that matters for a query-serving
+        # workload is the per-query cost WITHOUT retrain/reassign
+        from parquet_converter_spark.operators import similarity
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+        idx_dir = os.path.join(tmp, "ivf_idx")
+        t0 = time.time()
+        similarity.ivf_build_index(spark, emb, idx_dir, n_cells=16)
+        queries["ivf_build_index"] = round(time.time() - t0, 3)
+        similarity.ivf_query(spark, idx_dir, qvec, k=10, n_probe=4).collect()  # warm
+        t0 = time.time()
+        similarity.ivf_query(spark, idx_dir, qvec, k=10, n_probe=4).collect()
+        queries["ivf_index_query"] = round(time.time() - t0, 3)
 
         total = round(sum(queries.values()), 3)
         print(

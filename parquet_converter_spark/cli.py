@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
         help="per-column codec overrides, e.g. 'text=fsst,ts=delta' (reference per-column dtypes)",
     )
     ep.add_argument("--salt-rows", type=int, default=None)
+    ep.add_argument(
+        "--time-bucket", default=None,
+        help="time-clustered encode: hour|day|week|<seconds> — folds the event-time "
+        "window into the group key so ts zone maps prune on batch tables",
+    )
     ep.add_argument("--chunk-rows", type=int, default=None)
     ep.add_argument("--num-buckets", type=int, default=None)
     ep.add_argument("--run-id", default=None)
@@ -143,6 +148,8 @@ def main(argv: list[str] | None = None) -> int:
             cfg.num_buckets = args.num_buckets
         if args.no_resume:
             cfg.resume = False
+        if args.time_bucket is not None:
+            cfg.time_bucket = args.time_bucket
         cfg.validate()
         if args.save_config:
             cfg.save(args.save_config)
@@ -173,6 +180,7 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=cfg.num_buckets,
             resume=cfg.resume,
             max_groups=args.max_groups,
+            time_bucket=cfg.resolved_time_bucket(),
         )
         from .logutil import format_stats_table
 
@@ -198,15 +206,25 @@ def main(argv: list[str] | None = None) -> int:
         from .decode_job import decode_conversation, decode_table, decode_time_slice
 
         io = _io(spark, args.out)
-        if args.conv_id:
-            decoded = decode_conversation(spark, io, args.conv_id, on_error=args.on_error)
-        elif args.ts_from or args.ts_to:
+        ts_range = None
+        if args.ts_from or args.ts_to:
             if not (args.ts_from and args.ts_to):
                 p.error("--ts-from and --ts-to must be given together")
             from datetime import datetime
 
-            lo = datetime.fromisoformat(args.ts_from)
-            hi = datetime.fromisoformat(args.ts_to)
+            ts_range = (
+                datetime.fromisoformat(args.ts_from),
+                datetime.fromisoformat(args.ts_to),
+            )
+        if args.conv_id:
+            # selectors COMPOSE: --conv-id narrows to one conversation
+            # (bucket + conv-zone-map pruning); an added --ts-from/--ts-to
+            # slices that conversation's window (ts-zone-map pruning)
+            decoded = decode_conversation(
+                spark, io, args.conv_id, on_error=args.on_error, ts_range=ts_range
+            )
+        elif ts_range is not None:
+            lo, hi = ts_range
             cols = args.columns.split(",") if args.columns else None
             decoded = decode_time_slice(
                 spark, io, lo, hi, columns=cols, on_error=args.on_error

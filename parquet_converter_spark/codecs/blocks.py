@@ -107,11 +107,15 @@ def _extract(series: pd.Series, dtype: str):
         valid = series.notna().to_numpy()
         vals = series[valid]
         lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
-        flat = (
-            np.concatenate([np.asarray(v, dtype=np.float32) for v in vals])
-            if len(vals)
-            else np.zeros(0, dtype=np.float32)
-        )
+        # float64→float32 overflow to ±inf is the INTENDED narrowing
+        # semantics (bit-identity is defined on the f32 values); keep
+        # the warning channel clean for real problems
+        with np.errstate(over="ignore"):
+            flat = (
+                np.concatenate([np.asarray(v, dtype=np.float32) for v in vals])
+                if len(vals)
+                else np.zeros(0, dtype=np.float32)
+            )
         return valid, (lengths, flat)
     if dtype == "str":
         valid = series.notna().to_numpy()

@@ -28,6 +28,7 @@ class EngineConfig:
     resume: bool = True
     parquet_compression: str = "snappy" # reference default (config.py:175)
     dt_formats: list[str] = dataclasses.field(default_factory=list)
+    time_bucket: str | None = None      # None | hour | day | week | seconds-int-as-str
 
     _CODECS = {"auto", "plain", "dict", "rle", "forbp", "delta", "dtrans", "wdict", "fsst"}
 
@@ -38,7 +39,21 @@ class EngineConfig:
             raise ValueError("salt_rows/chunk_rows/sample_rows must be positive")
         if self.num_buckets is not None and self.num_buckets <= 0:
             raise ValueError("num_buckets must be positive or None")
+        if self.time_bucket is not None:
+            from .partitioning import resolve_time_bucket
+
+            tb = self.time_bucket
+            resolve_time_bucket(int(tb) if tb.lstrip("-").isdigit() else tb)
         return self
+
+    def resolved_time_bucket(self) -> int | None:
+        """time_bucket as seconds (or None), for encode_table."""
+        from .partitioning import resolve_time_bucket
+
+        tb = self.time_bucket
+        if tb is None:
+            return None
+        return resolve_time_bucket(int(tb) if tb.lstrip("-").isdigit() else tb)
 
     @classmethod
     def load(cls, path: str | None = None, env: dict | None = None) -> "EngineConfig":

@@ -233,7 +233,12 @@ def decode_time_slice(
 
 
 def decode_conversation(
-    spark: SparkSession, io, conv_id: str, arrow_native: bool = True, on_error: str = "raise"
+    spark: SparkSession,
+    io,
+    conv_id: str,
+    arrow_native: bool = True,
+    on_error: str = "raise",
+    ts_range: tuple | None = None,
 ) -> DataFrame:
     """Point lookup: decode one conversation's turns.
 
@@ -241,7 +246,10 @@ def decode_conversation(
     {pmod(xxhash64(conv_id), nb) for every bucketing that ever wrote
     (table_meta)} → blocks scan prunes to those buckets → final row
     filter. At 10^12 turns this touches ~1/num_buckets of the table
-    instead of all of it."""
+    instead of all of it. ``ts_range=(lo, hi)`` composes the time-slice
+    selector on top: ts zone maps prune further and the exact window
+    filter applies to the decoded rows (CLI: --conv-id with
+    --ts-from/--ts-to)."""
     from pyspark.sql import functions as F
 
     buckets = None
@@ -262,6 +270,10 @@ def decode_conversation(
     # blocks whose [conv_min, conv_max] covers this id decode at all
     df = decode_table(
         spark, io, buckets=buckets, arrow_native=arrow_native,
-        on_error=on_error, conv_range=(conv_id, conv_id),
+        on_error=on_error, conv_range=(conv_id, conv_id), ts_range=ts_range,
     )
-    return df.where(F.col("conv_id") == conv_id)
+    df = df.where(F.col("conv_id") == conv_id)
+    if ts_range is not None:
+        lo, hi = ts_range
+        df = df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    return df

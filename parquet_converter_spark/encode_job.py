@@ -26,6 +26,7 @@ from .partitioning import (
     DEFAULT_SALT_ROWS,
     estimate_input_rows,
     plan_num_buckets,
+    resolve_time_bucket,
     with_group_keys,
 )
 from .schema import BLOCKS_STORED_SCHEMA, COLUMN_DTYPES, ENCODED_COLUMNS
@@ -135,7 +136,7 @@ def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
     """Build the grouped-map UDF. Everything below runs executor-side
     on one (bucket, salt) group at a time."""
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket, salt = int(key[0]), int(key[1])
         try:
             pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
@@ -206,8 +207,17 @@ def encode_table(
     max_groups: int | None = None,
     resume_scope: str = "global",
     arrow_native: bool = True,
+    time_bucket=None,
 ) -> dict:
     """Encode a transcript DataFrame into the blocks table at ``io``.
+
+    ``time_bucket`` ('hour'/'day'/'week' or seconds) opts into
+    TIME-CLUSTERED encode: the event-time window index folds into the
+    salt key, so each block covers one window and its ts zone maps
+    become tight — ``decode_time_slice`` then prunes blocks on batch
+    tables, not just streaming-epoch ones. Like ``salt_rows``, a
+    resumed run must pass the SAME value or the group keys won't line
+    up with the committed manifest.
 
     Returns a summary dict (groups encoded, rows, encoded bytes).
     ``max_groups`` bounds how many pending groups this invocation
@@ -234,15 +244,32 @@ def encode_table(
         raise ValueError("run_id must not contain '~' (reserved attempt separator)")
     run_id = run_id or f"run_{int(time.time() * 1000):x}"
     phys_run_id = f"{run_id}~{uuid.uuid4().hex[:8]}"
+    tb_secs = resolve_time_bucket(time_bucket)
     if num_buckets is None:
         # planning estimate only — never a full scan of a non-parquet
         # source (estimate_input_rows: parquet metadata count, else
         # bytes/avg-line-length)
         n_rows = estimate_input_rows(spark, df)
         parallelism = spark.sparkContext.defaultParallelism
-        num_buckets = plan_num_buckets(n_rows, salt_rows, parallelism)
+        if tb_secs is not None:
+            # time clustering multiplies group count by the window
+            # count, so auto-planning must target ≈salt_rows rows per
+            # (bucket, window) or groups collapse to slivers. The
+            # window count needs the ts span — ONE map-side min/max
+            # over the pruned ts column (the single deliberate
+            # exception to plan-without-pre-read; at 10^12-turn scale
+            # pass num_buckets explicitly to skip it).
+            b = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+            n_windows = 1
+            if b["lo"] is not None and b["hi"] is not None:
+                n_windows = max(1, int((b["hi"] - b["lo"]).total_seconds() // tb_secs) + 1)
+            num_buckets = plan_num_buckets(
+                (n_rows + n_windows - 1) // n_windows, salt_rows, parallelism
+            )
+        else:
+            num_buckets = plan_num_buckets(n_rows, salt_rows, parallelism)
 
-    keyed = with_group_keys(df, num_buckets, salt_rows)
+    keyed = with_group_keys(df, num_buckets, salt_rows, time_bucket=tb_secs)
 
     # fresh-run fast path: nothing committed (in scope) and no group cap
     # → skip the full-table distinct + semi-join entirely (saves one

@@ -86,7 +86,10 @@ def hash_split(
     expr = None
     lo = 0.0
     for label, frac in fractions.items():
-        hi = lo + frac
+        # clamp: float accumulation can push the running total into
+        # (1.0, 1+1e-9] past the tolerance check above, and
+        # _hex_threshold rejects > 1.0
+        hi = min(lo + frac, 1.0)
         c = (prefix >= F.lit(_hex_threshold(lo))) & (prefix < F.lit(_hex_threshold(hi)))
         expr = F.when(c, label) if expr is None else expr.when(c, label)
         lo = hi

@@ -53,10 +53,13 @@ def cosine_topk(
     )
 
 
-def embedding_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    return df.select(
-        F.col(id_col), F.round(_norm(F.col(vec_col)), 6).alias("l2_norm")
-    ).orderBy(id_col)
+def embedding_norms(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", ordered: bool = False
+) -> DataFrame:
+    # unordered by default: a global sort at corpus scale is a full
+    # range shuffle pipeline callers don't need (driver queries opt in)
+    out = df.select(F.col(id_col), F.round(_norm(F.col(vec_col)), 6).alias("l2_norm"))
+    return out.orderBy(id_col) if ordered else out
 
 
 def closest_pairs(
@@ -291,3 +294,73 @@ def ivf_ann_topk(
     assigned = ivf_assign(df, cent, vec_col)
     bucket = assigned.where(F.col("ivf_cell").isin([int(c) for c in probe]))
     return cosine_topk(bucket, query_vec, k, vec_col, id_col)
+
+
+def ivf_build_index(
+    spark,
+    df: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    sample_n: int = 4096,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Materialize the IVF index ONCE (VERDICT r03 next #4): train the
+    coarse quantizer, assign every vector, and write the assignment
+    CELL-PARTITIONED (``partitionBy("ivf_cell")``) plus a centroids
+    table. Repeated queries then read only the probed cells' partitions
+    — storage-level pruning (PartitionFilters at planning time), not a
+    row filter over the whole table — and skip training entirely.
+    On Iceberg the same layout is ``partitionedBy(ivf_cell)``; the
+    parquet-dir form here is the jar-free equivalent.
+
+    Returns {"cells", "rows", "dim"}.
+    """
+    cent = ivf_train_centroids(
+        df, n_cells, sample_n, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    assigned = ivf_assign(df, cent, vec_col)
+    # one shuffle on ivf_cell so each cell's files are written together
+    # (without it every task writes a sliver of every cell: tiny files
+    # at scale); the cell is the partition dir, pruned at query time
+    assigned.repartition("ivf_cell").write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(f"{index_dir}/vectors")
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    meta = spark.createDataFrame(
+        [(int(len(cent)), int(cent.shape[1]), vec_col, id_col, int(seed))],
+        "n_cells int, dim int, vec_col string, id_col string, seed int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/index_meta")
+    return {"cells": int(len(cent)), "rows": df.count(), "dim": int(cent.shape[1])}
+
+
+def ivf_read_centroids(spark, index_dir: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_query(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ANN point query against a built IVF index: nearest ``n_probe``
+    centroids (driver-side on the tiny centroid table) → read ONLY
+    those cells' partition directories → exact cosine top-k inside.
+    Per query this touches ~n_probe/n_cells of the data at the
+    STORAGE level; no training, no full-table assignment pass."""
+    meta = spark.read.parquet(f"{index_dir}/index_meta").collect()[0]
+    cent = ivf_read_centroids(spark, index_dir)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cent @ q))[: min(n_probe, len(cent))].tolist()
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    bucket = vectors.where(F.col("ivf_cell").isin([int(c) for c in probe]))
+    return cosine_topk(bucket, query_vec, k, meta["vec_col"], meta["id_col"])

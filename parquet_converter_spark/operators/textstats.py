@@ -25,9 +25,20 @@ def _tokens(text_col: str) -> Column:
     return F.filter(F.split(F.trim(F.col(text_col)), " "), lambda t: t != "")
 
 
-def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _maybe_ordered(df: DataFrame, id_col: str, ordered: bool) -> DataFrame:
+    """Per-doc ops default to UNORDERED for pipeline use — a global sort
+    on a 10^12-row corpus is a full range shuffle a downstream stage
+    almost never needs. Driver/oracle queries pass ordered=True (or sort
+    themselves) where deterministic row order matters."""
+    return df.orderBy(id_col) if ordered else df
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ordered: bool = False
+) -> DataFrame:
     """Whitespace token count per document."""
-    return df.select(F.col(id_col), F.size(_tokens(text_col)).alias("n_tokens")).orderBy(id_col)
+    out = df.select(F.col(id_col), F.size(_tokens(text_col)).alias("n_tokens"))
+    return _maybe_ordered(out, id_col, ordered)
 
 
 def token_count_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -40,7 +51,9 @@ def token_count_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ordered: bool = False
+) -> DataFrame:
     """Heuristic quality features: length, punctuation ratio, stopword
     ratio, mean word length. Engine-portable regexes (literal classes)."""
     t = F.col(text_col)
@@ -49,7 +62,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(STOPWORDS_EN)))
-    return df.select(
+    out = df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
@@ -57,10 +70,13 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.round(
             (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)), 4
         ).alias("mean_word_len"),
-    ).orderBy(id_col)
+    )
+    return _maybe_ordered(out, id_col, ordered)
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ordered: bool = False
+) -> DataFrame:
     """Stopword-profile language ID: argmax of per-language hit counts
     (n-gram-free heuristic; 'und' = undetermined on zero hits)."""
     toks = F.transform(_tokens(text_col), lambda x: F.lower(x))
@@ -74,14 +90,17 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     # first language reaching the max wins (deterministic order)
     for lang in reversed(list(_LANG_PROFILES)):
         pred = F.when((F.col(lang) == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return scored.select(id_col, pred.alias("pred_lang")).orderBy(id_col)
+    return _maybe_ordered(scored.select(id_col, pred.alias("pred_lang")), id_col, ordered)
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ordered: bool = False
+) -> DataFrame:
     """Content fingerprint: xxhash64 of the normalized text (lowercased,
     whitespace-collapsed) — the exact-dedup key at scale."""
     norm = F.lower(F.concat_ws(" ", _tokens(text_col)))
-    return df.select(F.col(id_col), F.xxhash64(norm).alias("fp")).orderBy(id_col)
+    out = df.select(F.col(id_col), F.xxhash64(norm).alias("fp"))
+    return _maybe_ordered(out, id_col, ordered)
 
 
 def lang_distribution(df: DataFrame, lang_col: str = "lang") -> DataFrame:

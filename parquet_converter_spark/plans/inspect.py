@@ -40,3 +40,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def wholestage_codegen_ids(df: DataFrame) -> list[str]:
     return re.findall(r"WholeStageCodegen \((\d+)\)", executed_plan(df))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters of every file scan — predicates resolved at
+    PLANNING time against the directory/partition layout (storage-level
+    pruning: unselected partitions' files are never listed or read)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", executed_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out

@@ -101,12 +101,14 @@ def _make_event_time_tracker(gap_ms: int):
         stats = _fold(pdfs, state)
         state.update(stats)
         last_ts = stats[4]
-        if last_ts is not None:
-            # timeout timestamps must sit above the current watermark or
-            # Spark rejects them; a session already past the gap closes
-            # at the next watermark tick
-            wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(last_ts * 1000 + gap_ms, wm + 1))
+        # timeout timestamps must sit above the current watermark or
+        # Spark rejects them; a session already past the gap closes
+        # at the next watermark tick. A conversation whose rows ALL
+        # have null ts (last_ts None) must still expire — anchor its
+        # timeout to the watermark itself, else its state lives forever.
+        wm = state.getCurrentWatermarkMs()
+        anchor = last_ts * 1000 if last_ts is not None else wm
+        state.setTimeoutTimestamp(max(anchor + gap_ms, wm + 1))
         yield _emit(key, stats, False)
 
     return track

@@ -137,7 +137,29 @@ class IcebergTableIO:
         return self.spark.catalog.tableExists(self._ident(name))
 
     def read(self, name: str, schema=None) -> DataFrame:
-        return self.spark.table(self._ident(name))
+        """Catalog read, reconciled against the caller's expected schema.
+
+        Iceberg tables carry their own schema, so unlike the parquet-dir
+        reader we cannot just impose ``schema`` on the scan — but the
+        'legacy tables read null = keep' contract (zone-map columns
+        added in a later engine version must read as null off a table
+        created before them) still has to hold. Columns the caller
+        expects but the table lacks are appended as typed null literals,
+        and the projection is normalized to schema order so downstream
+        code sees one shape regardless of table vintage.
+        """
+        df = self.spark.table(self._ident(name))
+        if schema is None:
+            return df
+        from pyspark.sql import functions as F
+
+        have = set(df.columns)
+        out = [
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*out)
 
     def _writer(self, df: DataFrame, name: str):
         """writeTo builder with the table's partition spec attached —
@@ -151,6 +173,28 @@ class IcebergTableIO:
             w = w.partitionedBy(*[F.col(c) for c in cols])
         return w
 
+    def _evolve_schema(self, df: DataFrame, name: str) -> None:
+        """Iceberg-native schema evolution for appends from a newer
+        engine: columns the incoming frame has but the table lacks
+        (e.g. zone-map stats appended to a pre-zone-map table) are
+        ADDed before the append — Iceberg backfills them as null for
+        existing rows, which is exactly the 'legacy blocks read null =
+        keep' contract. Column names are engine-defined identifiers,
+        validated here anyway since they land in DDL."""
+        import re
+
+        table_cols = {f.name for f in self.spark.table(self._ident(name)).schema.fields}
+        missing = [f for f in df.schema.fields if f.name not in table_cols]
+        if not missing:
+            return
+        for f in missing:
+            if not re.fullmatch(r"[A-Za-z0-9_]+", f.name):
+                raise ValueError(f"column name unsafe for DDL: {f.name!r}")
+        cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in missing)
+        self.spark.sql(
+            f"ALTER TABLE {self._ident(name)} ADD COLUMNS ({cols_ddl})"
+        )
+
     def append(self, df: DataFrame, name: str, compression: str = "uncompressed") -> None:
         self._ensure_namespace()
         # parquet-dir append semantics: first append creates the table
@@ -159,6 +203,7 @@ class IcebergTableIO:
         if not self.exists(name):
             self._writer(df, name).create()
         else:
+            self._evolve_schema(df, name)
             df.writeTo(self._ident(name)).append()
 
     def overwrite(self, df: DataFrame, name: str, compression: str = "snappy") -> None:

@@ -346,3 +346,76 @@ def test_decode_time_slice_known_answer(spark):
     assert row["total_rows"] == len(pdf)
     assert row["sliced_rows"] == expected
     assert 0 < row["touched_blocks"] < row["total_blocks"]
+
+
+def test_simhash_near_dup_pairs_known_answer(spark):
+    """Banded-bucket pairing vs brute-force hamming over every pair of
+    fingerprints — the pigeonhole banding must have 100% recall (every
+    pair within max_hamming appears) and the bit_count verify must
+    drop everything beyond it."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(50)]
+    rows, did = [], 0
+    for _ in range(8):
+        base = " ".join(rng.choice(words) for _ in range(30))
+        rows.append((did, base)); did += 1
+        toks = base.split()
+        toks[rng.randrange(len(toks))] = rng.choice(words)  # near-dup edit
+        rows.append((did, " ".join(toks))); did += 1
+    rows.append((did, rows[0][1]))  # one exact dup → hamming 0 pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = {r["doc_id"]: r["simhash"] & MASK for r in dedup.simhash(df).collect()}
+    maxh = 6
+    expected = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= maxh
+    )
+    assert expected, "seeded corpus must contain at least one near-dup pair"
+    got = sorted(
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in dedup.simhash_near_dup_pairs(df, max_hamming=maxh).collect()
+    )
+    assert got == expected
+    # chunking invariance: tiny chunks must not change the pair set
+    got_chunked = sorted(
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in dedup.simhash_near_dup_pairs(df, max_hamming=maxh, chunk_size=2).collect()
+    )
+    assert got_chunked == expected
+
+
+def test_simhash_near_dup_pairs_validates_max_hamming(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_dup_pairs(df, max_hamming=9)
+
+
+def test_ivf_index_query_matches_adhoc(spark, tmp_path):
+    """A built (persisted, cell-partitioned) index must return exactly
+    what the ad-hoc ivf_ann_topk returns for the same quantizer params
+    — same training sample, same assignment, same probes."""
+    rng = np.random.default_rng(5)
+    axes = np.eye(8)[:3]
+    rows = []
+    for i in range(90):
+        v = axes[i % 3] + 0.05 * rng.standard_normal(8)
+        rows.append((i, v.astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = axes[0].tolist()
+
+    idx = str(tmp_path / "ivf_idx")
+    info = similarity.ivf_build_index(spark, df, idx, n_cells=3, sample_n=90)
+    assert info["cells"] == 3 and info["rows"] == 90 and info["dim"] == 8
+
+    adhoc = [(r["vec_id"], r["cos_sim"]) for r in
+             similarity.ivf_ann_topk(df, q, k=10, n_cells=3, n_probe=1, sample_n=90).collect()]
+    indexed = [(r["vec_id"], r["cos_sim"]) for r in
+               similarity.ivf_query(spark, idx, q, k=10, n_probe=1).collect()]
+    assert indexed == adhoc
+    # probe-all degenerates to exact
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
+    assert [r["vec_id"] for r in similarity.ivf_query(spark, idx, q, k=10, n_probe=3).collect()] == exact

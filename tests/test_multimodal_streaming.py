@@ -44,6 +44,7 @@ def test_frame_sample_plan(spark):
     assert all(r["count"] >= 1 for r in rows)
 
 
+@pytest.mark.slow
 def test_turn_rate_windows_watermarked(spark, tmp_path):
     """Watermarked tumbling-window aggregation over a transcript stream."""
     from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
@@ -74,6 +75,7 @@ def test_turn_rate_windows_watermarked(spark, tmp_path):
     assert total is None or total <= src.count()
 
 
+@pytest.mark.slow
 def test_stream_encode_micro_batches(spark, tmp_path):
     from parquet_converter_spark import checkpoint as ckpt
     from parquet_converter_spark.decode_job import decode_table
@@ -169,6 +171,7 @@ def _run_event_time_sessions(spark, landing, ckpt_dir, name, gap_seconds=30):
     )
 
 
+@pytest.mark.slow
 def test_event_time_sessions_replay_deterministic(spark, tmp_path):
     """EventTimeTimeout (VERDICT r02 #5): replaying the same landing
     files through a FRESH checkpoint yields identical emitted rows —
@@ -190,6 +193,7 @@ def test_event_time_sessions_replay_deterministic(spark, tmp_path):
     assert a_closed[5] - a_closed[4] == 10  # last_ts - first_ts in seconds
 
 
+@pytest.mark.slow
 def test_streaming_epochs_give_tight_zone_maps(spark, tmp_path):
     """The designed zone-map payoff: streaming ingest is time-clustered
     (each epoch covers an event-time window), so per-epoch blocks get
@@ -238,6 +242,7 @@ def test_streaming_epochs_give_tight_zone_maps(spark, tmp_path):
     assert got.where(F.col("text").startswith("day1")).count() == 0
 
 
+@pytest.mark.slow
 def test_stateful_conversation_sessions(spark, tmp_path):
     """applyInPandasWithState: per-conversation state accumulates ACROSS
     micro-batches (two landing files → the second batch's emitted rows
@@ -298,3 +303,53 @@ def test_stateful_conversation_sessions(spark, tmp_path):
     for r in rows:
         if r["first_ts"] is not None:
             assert 1_000_000_000 < r["first_ts"] <= r["last_ts"] < 4_000_000_000
+
+
+def test_event_time_tracker_null_ts_group_still_expires():
+    """A conversation whose rows ALL carry null ts must still get a
+    timeout timestamp (anchored at the watermark), or its state lives
+    forever (ADVICE r03). Unit-drives the tracker with a fake
+    GroupState — no streaming query needed."""
+    import pandas as pd
+
+    from parquet_converter_spark.streaming.stateful import _make_event_time_tracker
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.timeout_set = None
+            self._val = None
+
+        @property
+        def get(self):
+            return self._val
+
+        def update(self, v):
+            self._val = tuple(v)
+            self.exists = True
+
+        def remove(self):
+            self._val, self.exists = None, False
+
+        def getCurrentWatermarkMs(self):
+            return 1_000_000
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_set = ms
+
+    track = _make_event_time_tracker(gap_ms=30_000)
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"] * 3, "role": ["user", "assistant", "user"],
+         "ts": pd.Series([pd.NaT] * 3, dtype="datetime64[ns]")}
+    )
+    st = FakeState()
+    out = list(track(("c",), [pdf], st))
+    assert len(out) == 1 and not out[0]["closed"].iloc[0]
+    # the null-ts group anchors its timeout at the watermark + gap
+    assert st.timeout_set == 1_000_000 + 30_000
+    # and a timed-out call closes + clears it
+    st.hasTimedOut = True
+    closed = list(track(("c",), [], st))
+    assert closed[0]["closed"].iloc[0] and not st.exists

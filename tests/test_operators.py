@@ -181,6 +181,7 @@ def test_analyzer_fused_profile(spark):
     assert "rows=3" in text and "label" in text
 
 
+@pytest.mark.slow
 def test_embedding_compression_parallel_and_stable(spark):
     """The codec-metrics query must NOT funnel through one task: with a
     4-partition input it emits one per-batch row per partition, and the
@@ -282,3 +283,15 @@ def test_histogram_bins_and_clamps(spark):
     assert got[5] == 1   # 55
     assert got[9] == 3   # 99.9, 100, 250
     assert sum(got.values()) == 9
+
+
+def test_hash_split_tolerated_float_overshoot(spark):
+    """ADVICE r03: fractions whose float sum lands in (1.0, 1+1e-9]
+    pass validation and must not blow up mid-loop — the last interval
+    clamps to the end of the hash line."""
+    from parquet_converter_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "k string")
+    out = hash_split(df, "k", {"a": 0.7, "b": 0.3 + 5e-10})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert None not in counts and sum(counts.values()) == 100

@@ -14,6 +14,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute floors; fast lane: -m 'not slow'
+
 from parquet_converter_spark.decode_job import decode_table
 from parquet_converter_spark.encode_job import encode_table
 from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from parquet_converter_spark.plans import (
+    executed_plan,
     has_broadcast_join,
     pushed_filters,
     read_schemas,
@@ -172,3 +173,38 @@ def test_ivf_assign_and_embcodec_are_shuffle_free(spark):
     assert "Exchange" not in plan_assign
     plan_emb = embcodec.per_batch_metrics(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_emb
+
+
+def test_ngram_jaccard_semi_joins_before_shingling(spark):
+    """The Jaccard verify must scope the corpus to candidate ids with a
+    LEFT SEMI join BEFORE computing shingle arrays — otherwise every
+    document in a 10^12-row corpus pays the k-gram projection+shuffle
+    for a candidate set of a handful of pairs."""
+    from parquet_converter_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    plan = executed_plan(dedup.ngram_jaccard(docs, pairs))
+    assert "LeftSemi" in plan, plan
+
+
+def test_ivf_query_prunes_cell_partitions(spark, tmp_path):
+    """The persisted IVF index must turn the probe into STORAGE-level
+    pruning: the query's cell predicate lands in PartitionFilters (a
+    planning-time directory prune), not a row filter over every file."""
+    import numpy as np
+
+    from parquet_converter_spark.operators import similarity
+    from parquet_converter_spark.plans import partition_filters
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_build_index(spark, df, idx, n_cells=4, sample_n=64)
+    q = similarity.ivf_query(spark, idx, rows[0][1], k=5, n_probe=1)
+    pf = partition_filters(q)
+    assert any("ivf_cell" in f for f in pf), pf

@@ -4,6 +4,8 @@ left-anti join on committed group ids (SURVEY.md §5 carry-over #4)."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # kill/rerun + replay lifecycles; fast lane: -m 'not slow'
 from pyspark.sql import functions as F
 
 from parquet_converter_spark import checkpoint as ckpt

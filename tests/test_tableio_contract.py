@@ -50,6 +50,18 @@ class FakeSpark:
     def sql(self, q: str):
         if q.startswith("CREATE NAMESPACE"):
             return None
+        if q.startswith("ALTER TABLE"):
+            # mirror Iceberg ADD COLUMNS: existing rows read null
+            import re
+
+            m = re.match(r"ALTER TABLE (\S+) ADD COLUMNS \((.*)\)", q)
+            ident, cols = m.group(1), m.group(2)
+            df = self._cat.tables[ident]
+            for spec in cols.split(", "):
+                name, dtype = spec.split(" ", 1)
+                df = df.withColumn(name.strip("`"), F.lit(None).cast(dtype))
+            self._cat.tables[ident] = df
+            return None
         return self._real.sql(q)
 
     @property
@@ -182,6 +194,7 @@ def test_iceberg_blocks_table_partitioned_by_bucket(fake_iceberg, transcripts):
             assert cat.partitions[ident] == [], cat.partitions
 
 
+@pytest.mark.slow
 def test_iceberg_encode_resume_decode_parity(fake_iceberg, transcripts, tmp_path):
     """The full engine flow (partial commit → resume → decode → verify)
     must behave identically over Iceberg and parquet-dir tables."""
@@ -229,3 +242,47 @@ def test_iceberg_real_integration(spark, transcripts):  # pragma: no cover
     decoded = decode_table(spark, io)
     assert verify_decode(decoded, transcripts)["ok"]
     assert s["rows"] == transcripts.count()
+
+
+def test_iceberg_read_reconciles_missing_zone_map_columns(spark, fake_iceberg):
+    """ADVICE r03 (medium): a blocks table written before the zone-map
+    columns existed must read with those columns as typed nulls (the
+    'legacy reads null = keep' contract), not raise unresolved-column
+    on decode's conv_range/ts_range filters."""
+    import pyspark.sql.types as T
+
+    fs, cat = fake_iceberg
+    io = IcebergTableIO(fs, "engine_cat", "db_legacy")
+    legacy = spark.createDataFrame([(1, "x")], "bucket int, payload string")
+    cat.tables["engine_cat.db_legacy.blocks"] = legacy
+
+    want = T.StructType([
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("ts_min", T.TimestampType()),
+        T.StructField("conv_min", T.StringType()),
+    ])
+    got = io.read("blocks", want)
+    assert got.columns == ["bucket", "payload", "ts_min", "conv_min"]
+    row = got.collect()[0]
+    assert row["bucket"] == 1 and row["ts_min"] is None and row["conv_min"] is None
+    assert dict(zip(got.columns, (f.dataType for f in got.schema.fields)))["ts_min"] == T.TimestampType()
+
+
+def test_iceberg_append_evolves_legacy_schema(spark, fake_iceberg):
+    """Appending new-engine rows (with zone-map stats) to a pre-zone-map
+    table must ADD the missing columns first (Iceberg schema evolution;
+    existing rows read null), not fail on schema mismatch."""
+    fs, cat = fake_iceberg
+    io = IcebergTableIO(fs, "engine_cat", "db_evo")
+    legacy = spark.createDataFrame([(1, "old")], "bucket int, payload string")
+    cat.tables["engine_cat.db_evo.blocks"] = legacy
+
+    newrows = spark.createDataFrame(
+        [(2, "new", "c0")], "bucket int, payload string, conv_min string"
+    )
+    io.append(newrows, "blocks")
+    got = cat.tables["engine_cat.db_evo.blocks"]
+    assert set(got.columns) == {"bucket", "payload", "conv_min"}
+    by_bucket = {r["bucket"]: r["conv_min"] for r in got.collect()}
+    assert by_bucket == {1: None, 2: "c0"}
