@@ -263,6 +263,16 @@ def encode_table(
             n_windows = 1
             if b["lo"] is not None and b["hi"] is not None:
                 n_windows = max(1, int((b["hi"] - b["lo"]).total_seconds() // tb_secs) + 1)
+            rows_per_window = n_rows // n_windows
+            if n_windows > 1 and rows_per_window < salt_rows:
+                import logging
+
+                logging.getLogger("parquet_converter_spark").warning(
+                    "time_bucket=%ss yields ~%d rows/window (< salt_rows=%d): "
+                    "groups shatter into slivers, hurting compression and task "
+                    "overhead — widen the window so rows/window >> salt_rows",
+                    tb_secs, rows_per_window, salt_rows,
+                )
             num_buckets = plan_num_buckets(
                 (n_rows + n_windows - 1) // n_windows, salt_rows, parallelism
             )
