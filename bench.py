@@ -182,6 +182,26 @@ def main() -> int:
                               "detail": {"tb_sliced": tb_sliced, "full": full_filtered}}))
             return 1
 
+        # lifecycle maintenance (r4): compact the time-bucketed table's
+        # small windows back to full-size blocks, then digest-verify the
+        # swap was invisible to readers
+        from parquet_converter_spark.maintenance import compact_blocks, vacuum_blocks
+
+        t0 = time.time()
+        cres = compact_blocks(spark, tb_io, min_fill=0.5, chunk_rows=65_536, salt_rows=32_768)
+        queries["compact_tb"] = round(time.time() - t0, 3)
+        extra["compact_blocks_before"] = cres["blocks_before"]
+        extra["compact_blocks_after"] = cres["blocks_after"]
+        t0 = time.time()
+        vres = vacuum_blocks(spark, tb_io)
+        queries["vacuum_tb"] = round(time.time() - t0, 3)
+        extra["vacuum_bytes_reclaimed"] = vres["bytes_reclaimed"]
+        cver = verify_decode_digest(decode_table(spark, tb_io), df)
+        if not cver["ok"]:
+            print(json.dumps({"metric": "FAILED_COMPACT_VERIFY", "value": -1,
+                              "unit": "sec", "detail": cver}))
+            return 1
+
         ref_bytes = write_reference_parquet(df, os.path.join(tmp, "ref"))
         extra["turns"] = n_rows
         extra["turns_per_sec"] = round(n_rows / t_encode, 1)

@@ -52,24 +52,35 @@ def pending_groups(io, planned: DataFrame, run_id: str | None = None) -> DataFra
     return planned.join(done, ["bucket", "salt"], "left_anti")
 
 
+def visible_triples(io) -> DataFrame:
+    """(bucket, salt, run_id) triples readers may see: committed
+    ('done') and not later RETIRED. Retirement is how maintenance
+    (compaction, retention) supersedes old physical blocks without
+    rewriting history: a 'retired' manifest row for the same triple
+    hides it from every reader while the lineage of both the original
+    commit and the retirement stays in the manifest. Old tables have
+    no retired rows, so this degrades to the plain done-set."""
+    m = read_manifest(io)
+    done = m.where(F.col("status") == "done").select("bucket", "salt", "run_id").distinct()
+    retired = (
+        m.where(F.col("status") == "retired").select("bucket", "salt", "run_id").distinct()
+    )
+    return done.join(retired, ["bucket", "salt", "run_id"], "left_anti")
+
+
 def committed_blocks(io) -> DataFrame:
-    """Blocks visible to readers: semi-join on committed (bucket, salt, run_id)."""
+    """Blocks visible to readers: semi-join on visible (bucket, salt, run_id)."""
     from .schema import BLOCKS_STORED_SCHEMA  # local import to avoid cycle
 
     if not io.exists(BLOCKS):
         return io.spark.createDataFrame([], BLOCKS_STORED_SCHEMA)
     blocks = io.read(BLOCKS, BLOCKS_STORED_SCHEMA)
-    # every committed (bucket, salt, run_id) triple is visible: distinct
+    # every visible (bucket, salt, run_id) triple is readable: distinct
     # runs over the same group key are DISJOINT data increments
     # (streaming epochs). Batch-mode double-encoding of a group is
     # prevented upstream by the resume anti-join under the
     # single-writer assumption (Iceberg OCC would enforce it with
     # concurrent writers); orphaned blocks from an uncommitted run
-    # remain invisible because their run_id has no manifest row.
-    done = (
-        read_manifest(io)
-        .where(F.col("status") == "done")
-        .select("bucket", "salt", "run_id")
-        .distinct()
-    )
-    return blocks.join(done, ["bucket", "salt", "run_id"], "left_semi")
+    # remain invisible because their run_id has no manifest row;
+    # maintenance-superseded triples are hidden by their 'retired' row.
+    return blocks.join(visible_triples(io), ["bucket", "salt", "run_id"], "left_semi")

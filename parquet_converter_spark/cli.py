@@ -94,6 +94,22 @@ def main(argv: list[str] | None = None) -> int:
     rp = sub.add_parser("report", help="manifest/metrics summary (reference: conversion_report.json)")
     rp.add_argument("--out", required=True)
 
+    mp = sub.add_parser("compact", help="rewrite under-filled groups into full-size blocks")
+    mp.add_argument("--out", required=True)
+    mp.add_argument("--min-fill", type=float, default=0.5,
+                    help="rewrite groups averaging < min_fill*chunk_rows rows/block")
+    mp.add_argument("--chunk-rows", type=int, default=65_536)
+    mp.add_argument("--time-bucket", default=None,
+                    help="re-cluster the rewrite by time window (hour|day|week|<seconds>)")
+    mp.add_argument("--vacuum", action="store_true",
+                    help="also rewrite the blocks table, physically dropping retired rows")
+
+    tp = sub.add_parser("retention", help="drop rows older than a cutoff (zone-map-proven)")
+    tp.add_argument("--out", required=True)
+    tp.add_argument("--before", required=True, help="ISO timestamp; rows with ts < cutoff drop")
+    tp.add_argument("--time-bucket", default=None)
+    tp.add_argument("--vacuum", action="store_true")
+
     ap = sub.add_parser("analyze", help="profile parquet tables in a dir (reference --mode analyze)")
     ap.add_argument("--input", required=True, help="dir containing *.parquet tables")
     ap.add_argument("--report", default=None, help="write text report here (default stdout)")
@@ -252,6 +268,36 @@ def main(argv: list[str] | None = None) -> int:
         result["mode"] = args.mode
         print(json.dumps(result))
         return 0 if result["ok"] else 1
+
+    if args.cmd == "compact":
+        from .maintenance import compact_blocks, vacuum_blocks
+        from .partitioning import resolve_time_bucket
+
+        io = _io(spark, args.out)
+        result = compact_blocks(
+            spark, io, min_fill=args.min_fill, chunk_rows=args.chunk_rows,
+            time_bucket=resolve_time_bucket(args.time_bucket),
+        )
+        if args.vacuum:
+            result["vacuum"] = vacuum_blocks(spark, io)
+        print(json.dumps(result))
+        return 0
+
+    if args.cmd == "retention":
+        from datetime import datetime
+
+        from .maintenance import retention_sweep, vacuum_blocks
+        from .partitioning import resolve_time_bucket
+
+        io = _io(spark, args.out)
+        result = retention_sweep(
+            spark, io, datetime.fromisoformat(args.before),
+            time_bucket=resolve_time_bucket(args.time_bucket),
+        )
+        if args.vacuum:
+            result["vacuum"] = vacuum_blocks(spark, io)
+        print(json.dumps(result))
+        return 0
 
     if args.cmd == "report":
         from . import checkpoint as ckpt

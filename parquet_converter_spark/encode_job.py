@@ -73,6 +73,7 @@ def _encode_group_arrow_fn(run_id: str, codec, chunk_rows: int):
             # session-zoned type for TimestampType output columns
             "ts_min": pa.array([r.get("ts_min") for r in rows], pa.timestamp("us", tz="UTC")),
             "ts_max": pa.array([r.get("ts_max") for r in rows], pa.timestamp("us", tz="UTC")),
+            "ts_nulls": pa.array([r.get("ts_nulls") for r in rows], pa.int64()),
             "conv_min": pa.array([r.get("conv_min") for r in rows], pa.string()),
             "conv_max": pa.array([r.get("conv_max") for r in rows], pa.string()),
             "run_id": pa.array([run_id] * len(rows), pa.string()),
@@ -116,6 +117,7 @@ def _encode_group_arrow_fn(run_id: str, codec, chunk_rows: int):
                 mm = pc.min_max(part.column("ts"))
                 row["ts_min"] = mm["min"].as_py()
                 row["ts_max"] = mm["max"].as_py()
+                row["ts_nulls"] = part.column("ts").null_count
                 rows.append(row)
             return _out_table(rows)
         except Exception as exc:  # noqa: BLE001 — per-group error isolation
@@ -165,6 +167,7 @@ def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
                 ts = part["ts"].dropna()
                 row["ts_min"] = ts.min() if len(ts) else None
                 row["ts_max"] = ts.max() if len(ts) else None
+                row["ts_nulls"] = int(len(part) - len(ts))
                 out_rows.append(row)
             out = pd.DataFrame(out_rows)
         except Exception as exc:  # noqa: BLE001 — per-group error isolation
@@ -182,6 +185,7 @@ def _encode_group_fn(run_id: str, codec: str, chunk_rows: int):
                 "blk_bytes": 0,
                 "ts_min": None,
                 "ts_max": None,
+                "ts_nulls": None,
                 "conv_min": None,
                 "conv_max": None,
             }
@@ -208,6 +212,7 @@ def encode_table(
     resume_scope: str = "global",
     arrow_native: bool = True,
     time_bucket=None,
+    retire_triples: DataFrame | None = None,
 ) -> dict:
     """Encode a transcript DataFrame into the blocks table at ``io``.
 
@@ -218,6 +223,13 @@ def encode_table(
     tables, not just streaming-epoch ones. Like ``salt_rows``, a
     resumed run must pass the SAME value or the group keys won't line
     up with the committed manifest.
+
+    ``retire_triples`` — a (bucket, salt, run_id) frame of OLD triples
+    this encode SUPERSEDES (compaction / retention rewrites,
+    maintenance.py). Their 'retired' manifest rows ride in the SAME
+    append as this run's 'done' rows, so the swap shares the one
+    commit point: readers see either the old blocks (commit absent) or
+    the new blocks only (commit present), never both.
 
     Returns a summary dict (groups encoded, rows, encoded bytes).
     ``max_groups`` bounds how many pending groups this invocation
@@ -255,14 +267,20 @@ def encode_table(
             # time clustering multiplies group count by the window
             # count, so auto-planning must target ≈salt_rows rows per
             # (bucket, window) or groups collapse to slivers. The
-            # window count needs the ts span — ONE map-side min/max
-            # over the pruned ts column (the single deliberate
-            # exception to plan-without-pre-read; at 10^12-turn scale
-            # pass num_buckets explicitly to skip it).
-            b = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+            # window count needs the ts span — parquet FOOTER stats
+            # when available (O(files) metadata, zero data read), else
+            # ONE map-side min/max over the pruned ts column (the
+            # single data pre-read in planning; pass num_buckets
+            # explicitly to skip both).
+            from .partitioning import ts_span_from_footers
+
+            span = ts_span_from_footers(df.inputFiles())
+            if span is None:
+                b = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+                span = (b["lo"], b["hi"]) if b["lo"] is not None else None
             n_windows = 1
-            if b["lo"] is not None and b["hi"] is not None:
-                n_windows = max(1, int((b["hi"] - b["lo"]).total_seconds() // tb_secs) + 1)
+            if span is not None:
+                n_windows = max(1, int((span[1] - span[0]).total_seconds() // tb_secs) + 1)
             rows_per_window = n_rows // n_windows
             if n_windows > 1 and rows_per_window < salt_rows:
                 import logging
@@ -343,6 +361,17 @@ def encode_table(
             .alias("status"),
         )
     )
+    if retire_triples is not None:
+        retire_rows = retire_triples.select(
+            F.col("run_id").cast("string"),
+            F.col("bucket").cast("int"),
+            F.col("salt").cast("long"),
+            F.lit(0).cast("int").alias("n_chunks"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("encoded_bytes"),
+            F.lit("retired").alias("status"),
+        )
+        manifest = manifest.unionByName(retire_rows)
     io.append(manifest, ckpt.MANIFEST, compression="snappy")
 
     # table metadata: partitioning parameters decoders need for

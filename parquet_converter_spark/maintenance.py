@@ -1,0 +1,341 @@
+"""Table maintenance: block compaction, zone-map retention, vacuum.
+
+Streaming epochs and narrow time windows leave SMALL blocks (each
+(bucket, salt, run_id) group commits its own chunk set), and
+training-data tables eventually age out old events. Both lifecycle
+operations are expressed on the engine's OWN commit protocol — no new
+storage format:
+
+* rewrites re-encode the affected rows under a fresh run_id via the
+  ordinary encode path, and the superseded triples' ``retired``
+  manifest rows ride in the SAME manifest append as the new run's
+  ``done`` rows (encode_table ``retire_triples``), so the swap shares
+  the one existing commit point: readers see the old blocks or the new
+  blocks, never both, and a crash before the append changes nothing
+  (the new attempt's orphan blocks stay invisible, exactly like any
+  killed encode);
+* retire-only steps (dropping data wholesale) are a single manifest
+  append of ``retired`` rows — crash before: no-op, after: done;
+* physical space comes back via ``vacuum_blocks``, which rewrites the
+  blocks table keeping only visible triples (on Iceberg this is a
+  metadata DELETE / rewrite_data_files instead — same contract,
+  cheaper mechanics).
+
+Retention leans on the per-block ts zone maps: a group whose every
+block proves ``ts_max < cutoff`` retires WITHOUT being read; only
+groups whose zone maps straddle the cutoff (or carry null stats =
+unknown) are decoded and re-encoded filtered. On a time-bucketed
+table (encode_table ``time_bucket``) the straddlers are one window's
+worth — the zone maps earn their bytes a second time here.
+
+Reference lineage: the reference converter has no table lifecycle at
+all (one-shot file conversion, converter.py); these are the operations
+its users need once outputs become long-lived tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import checkpoint as ckpt
+from .decode_job import decode_table
+from .encode_job import encode_table
+from .schema import BLOCKS_STORED_SCHEMA, ENCODED_COLUMNS
+
+
+def _visible_group_stats(io) -> DataFrame:
+    """Per visible (bucket, salt, run_id): chunk/row/byte totals from
+    the manifest (tiny — one row per group, no blocks read)."""
+    m = ckpt.read_manifest(io).where(F.col("status") == "done")
+    return (
+        m.join(ckpt.visible_triples(io), ["bucket", "salt", "run_id"], "left_semi")
+        .groupBy("bucket", "salt", "run_id")
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+        )
+    )
+
+
+def _decode_triples(spark: SparkSession, io, triples: DataFrame) -> DataFrame:
+    """Decode ONLY the given (bucket, salt, run_id) triples' blocks —
+    the maintenance read path. Same vectorized mapInArrow decode as
+    decode_table, scoped by a semi-join on the (tiny) triple list."""
+    blocks = io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA).join(
+        F.broadcast(triples.select("bucket", "salt", "run_id")),
+        ["bucket", "salt", "run_id"],
+        "left_semi",
+    )
+    from .decode_job import _decode_batches_arrow_cols
+
+    import pyspark.sql.types as T
+
+    from .schema import TRANSCRIPT_SCHEMA
+
+    cols = list(ENCODED_COLUMNS)
+    out_schema = T.StructType([TRANSCRIPT_SCHEMA[c] for c in cols])
+    return blocks.select(*[f"{c}_blk" for c in cols]).mapInArrow(
+        _decode_batches_arrow_cols(cols, False), schema=out_schema
+    )
+
+
+def compact_blocks(
+    spark: SparkSession,
+    io,
+    min_fill: float = 0.5,
+    chunk_rows: int = 65_536,
+    salt_rows: int = 65_536,
+    codec: str | dict = "auto",
+    time_bucket=None,
+    run_id: str | None = None,
+) -> dict:
+    """Rewrite under-filled groups into full-size blocks.
+
+    A group qualifies when its average rows-per-block falls below
+    ``min_fill * chunk_rows`` (streaming epochs and shattered time
+    windows are the usual producers). Qualifying groups are decoded
+    (scoped semi-join — untouched groups are never read), re-encoded
+    as ONE fresh run with the requested chunk/salt/codec/time_bucket,
+    and their old triples retired in the same commit. Returns
+    {"compacted_groups", "rows", "blocks_before", "blocks_after",
+    "run_id"}; no-op dict when nothing qualifies.
+    """
+    if not 0.0 < min_fill <= 1.0:
+        raise ValueError(f"min_fill must be in (0, 1], got {min_fill}")
+    stats = _visible_group_stats(io)
+    small = stats.where(
+        (F.col("n_rows") / F.greatest(F.col("n_chunks"), F.lit(1)))
+        < F.lit(min_fill * chunk_rows)
+    ).localCheckpoint(eager=True)  # pin the qualifying set: the rewrite
+    # itself appends manifest rows, and a lazy `small` re-evaluated
+    # after the commit would see them
+    # NEVER collected: at 10^12 turns the under-filled set can be
+    # millions of groups; one manifest-sized aggregate gives the counts
+    agg = small.agg(
+        F.count("*").alias("groups"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("n_chunks").alias("chunks"),
+    ).collect()[0]
+    if not agg["groups"]:
+        return {"compacted_groups": 0, "rows": 0, "blocks_before": 0,
+                "blocks_after": 0, "run_id": None}
+    triples = small.select("bucket", "salt", "run_id")
+    rows_df = _decode_triples(spark, io, triples)
+    from .partitioning import plan_num_buckets
+
+    summary = encode_table(
+        spark,
+        rows_df,
+        io,
+        run_id=run_id or "compact",
+        codec=codec,
+        salt_rows=salt_rows,
+        chunk_rows=chunk_rows,
+        # planned from manifest stats — skips the planning decode pass
+        num_buckets=plan_num_buckets(
+            int(agg["rows"]), salt_rows, spark.sparkContext.defaultParallelism
+        ),
+        resume=False,          # rewrites must not be suppressed by resume
+        time_bucket=time_bucket,
+        retire_triples=triples,
+    )
+    if summary["errors"]:
+        raise RuntimeError(
+            f"compact encode reported {summary['errors']} error groups; "
+            "their source triples were retired in the same commit — inspect "
+            "the manifest and re-encode from upstream before trusting decode"
+        )
+    return {
+        "compacted_groups": int(agg["groups"]),
+        "rows": summary["rows"],
+        "blocks_before": int(agg["chunks"]),
+        "blocks_after": int(
+            ckpt.read_manifest(io)
+            .where(F.col("run_id") == summary["physical_run_id"])
+            .where(F.col("status") == "done")
+            .agg(F.sum("n_chunks").alias("c"))
+            .collect()[0]["c"] or 0
+        ),
+        "run_id": summary["physical_run_id"],
+    }
+
+
+def retention_sweep(
+    spark: SparkSession,
+    io,
+    cutoff,
+    chunk_rows: int = 65_536,
+    salt_rows: int = 65_536,
+    codec: str | dict = "auto",
+    time_bucket=None,
+) -> dict:
+    """Drop rows with ``ts < cutoff`` using zone-map proofs.
+
+    Three classes of visible group, decided from per-block stats alone:
+
+    * ENTIRELY old — every block proves ``ts_max < cutoff`` (null stats
+      disqualify: null = unknown = keep): retired outright with one
+      manifest append; their data is never read.
+    * STRADDLING — some block overlaps the cutoff or has null stats:
+      decoded, filtered to ``ts >= cutoff OR ts IS NULL`` (null-ts rows
+      cannot be proven old, so they are kept — the conservative
+      contract), re-encoded as a fresh run, old triples retired in the
+      same commit.
+    * ENTIRELY new — untouched, never read.
+
+    Returns {"retired_groups", "rewritten_groups", "rows_kept",
+    "run_id"}.
+    """
+    blocks = io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA).join(
+        ckpt.visible_triples(io), ["bucket", "salt", "run_id"], "left_semi"
+    )
+    # stats-only scan: the binary block columns are pruned from the read.
+    # Null-ts rows are NEVER provably old (the sweep keeps them), so the
+    # proofs need the ts_nulls block statistic: min/max skip nulls, and a
+    # block mixing null-ts rows with pre-cutoff rows would otherwise
+    # "prove" old and silently drop the nulls. Legacy blocks read
+    # ts_nulls null = unknown → nothing provable → rewrite (safe).
+    provably_old_blk = (
+        F.col("ts_max").isNotNull()
+        & (F.col("ts_max") < F.lit(cutoff))
+        & (F.col("ts_nulls") == 0)
+    )
+    # a block needs no rewrite when it provably holds nothing the filter
+    # would drop: all non-null ts >= cutoff, or the block is all-null
+    # (ts_nulls == n_rows — the filter keeps every row either way)
+    free_of_old_blk = (
+        (F.col("ts_min").isNotNull() & (F.col("ts_min") >= F.lit(cutoff)))
+        | (F.col("ts_nulls") == F.col("n_rows"))
+    )
+    per_group = (
+        blocks.where(F.col("chunk") >= 0)
+        .select("bucket", "salt", "run_id", "n_rows", "ts_min", "ts_max", "ts_nulls")
+        .groupBy("bucket", "salt", "run_id")
+        .agg(
+            # three-valued logic lands conservative: a null proof (legacy
+            # stats) must read as NOT-provably-old / touching — min/max
+            # SKIP nulls, so coalesce each flag before aggregating
+            F.min(F.coalesce(provably_old_blk.cast("int"), F.lit(0))).alias("all_old"),
+            F.max(F.coalesce((~free_of_old_blk).cast("int"), F.lit(1))).alias("touches_old"),
+        )
+        .localCheckpoint(eager=True)  # pin classifications: the rewrite
+        # appends manifest rows a lazy plan would re-read
+    )
+    # NEVER collected: one row per visible group can be millions at
+    # 10^12 turns — classify and count distributed
+    old = per_group.where(F.col("all_old") == 1).select("bucket", "salt", "run_id")
+    straddle = per_group.where(
+        (F.col("all_old") == 0) & (F.col("touches_old") == 1)
+    ).select("bucket", "salt", "run_id")
+    counts = per_group.agg(
+        F.sum((F.col("all_old") == 1).cast("long")).alias("old"),
+        F.sum(((F.col("all_old") == 0) & (F.col("touches_old") == 1)).cast("long")).alias("straddle"),
+    ).collect()[0]
+    n_old, n_straddle = int(counts["old"] or 0), int(counts["straddle"] or 0)
+
+    rows_kept = 0
+    rid = None
+    if n_straddle:
+        kept = _decode_triples(spark, io, straddle).where(
+            (F.col("ts") >= F.lit(cutoff)) | F.col("ts").isNull()
+        )
+        # bucket planning from manifest stats (straddle row count is an
+        # upper bound on kept rows) — skips a planning decode pass
+        from .partitioning import plan_num_buckets
+
+        est_rows = int(
+            ckpt.read_manifest(io)
+            .where(F.col("status") == "done")
+            .join(straddle, ["bucket", "salt", "run_id"], "left_semi")
+            .agg(F.sum("n_rows").alias("r"))
+            .collect()[0]["r"] or 0
+        )
+        summary = encode_table(
+            spark, kept, io,
+            run_id="retention", codec=codec, salt_rows=salt_rows,
+            chunk_rows=chunk_rows, resume=False, time_bucket=time_bucket,
+            num_buckets=plan_num_buckets(
+                est_rows, salt_rows, spark.sparkContext.defaultParallelism
+            ),
+            retire_triples=straddle,
+        )
+        if summary["errors"]:
+            raise RuntimeError(
+                f"retention re-encode reported {summary['errors']} error groups; "
+                "straddling triples were retired in the same commit — inspect "
+                "the manifest (error groups' rows are missing until repaired)"
+            )
+        rows_kept = summary["rows"]
+        rid = summary["physical_run_id"]
+
+    if n_old:
+        retire_rows = old.select(
+            F.col("run_id").cast("string"),
+            F.col("bucket").cast("int"),
+            F.col("salt").cast("long"),
+            F.lit(0).cast("int").alias("n_chunks"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("encoded_bytes"),
+            F.lit("retired").alias("status"),
+        )
+        io.append(retire_rows, ckpt.MANIFEST, compression="snappy")
+
+    return {
+        "retired_groups": n_old,
+        "rewritten_groups": n_straddle,
+        "rows_kept": rows_kept,
+        "run_id": rid,
+    }
+
+
+def reclaimable_bytes(io) -> int:
+    """Bytes held by block rows no reader can see (retired / orphaned)
+    — what vacuum_blocks would free. Manifest-side only for the
+    retired portion; orphans need the blocks scan, so this reads the
+    blocks table's small columns (binary columns pruned)."""
+    if not io.exists(ckpt.BLOCKS):
+        return 0
+    blocks = io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA).select(
+        "bucket", "salt", "run_id", "blk_bytes"
+    )
+    dead = blocks.join(ckpt.visible_triples(io), ["bucket", "salt", "run_id"], "left_anti")
+    return int(dead.agg(F.sum("blk_bytes").alias("b")).collect()[0]["b"] or 0)
+
+
+def vacuum_blocks(spark: SparkSession, io) -> dict:
+    """Physically drop invisible block rows (retired triples and
+    orphaned uncommitted attempts) by rewriting the blocks table.
+
+    Parquet-dir mechanics: write the visible rows to a sibling temp
+    dir, then atomically swap directories — readers racing the swap see
+    either the old or the new complete table. On Iceberg the same
+    operation is a metadata-level DELETE (no full rewrite); this is the
+    jar-free equivalent. A FULL rewrite is the honest cost on a plain
+    filesystem — run it at maintenance cadence, not per-job. Returns
+    {"bytes_reclaimed", "rows_kept"}.
+    """
+    import os
+    import shutil
+
+    from .tableio import ParquetDirTableIO
+
+    if not isinstance(io, ParquetDirTableIO):
+        raise NotImplementedError(
+            "vacuum_blocks rewrites a parquet-dir table; on Iceberg use "
+            "DELETE WHERE (bucket, salt, run_id) NOT IN visible_triples "
+            "+ rewrite_data_files (metadata-level, no full rewrite)"
+        )
+    freed = reclaimable_bytes(io)
+    if freed == 0:
+        return {"bytes_reclaimed": 0, "rows_kept": -1}
+    visible = ckpt.committed_blocks(io)
+    tmp_path = io.path(ckpt.BLOCKS) + "__vacuum"
+    visible.write.mode("overwrite").option("compression", "uncompressed").parquet(tmp_path)
+    rows_kept = spark.read.parquet(tmp_path).count()
+    final = io.path(ckpt.BLOCKS)
+    old_path = final + "__old"
+    os.rename(final, old_path)
+    os.rename(tmp_path, final)
+    shutil.rmtree(old_path)
+    return {"bytes_reclaimed": freed, "rows_kept": rows_kept}

@@ -33,14 +33,17 @@ DEFAULT_SALT_ROWS = 65_536
 #: named time-bucket widths (seconds) for time-clustered batch encode
 TIME_BUCKETS = {"hour": 3_600, "day": 86_400, "week": 604_800}
 
-#: stride separating the time-window component of the salt from the
-#: turn-salt component: salt = window * STRIDE + floor(turn_idx /
-#: salt_rows). 2^20 turn-salt slots per window bounds turn_idx at
-#: salt_rows * 2^20 (>= 2^30 even at salt_rows=1024); window indexes
+#: minimum stride separating the time-window component of the salt
+#: from the turn-salt component: salt = window * stride + floor(
+#: turn_idx / salt_rows). The effective stride grows to 2^31/salt_rows
+#: when salt_rows is small (see with_group_keys) so the turn-salt can
+#: never bleed into the next window's slot range; window indexes
 #: (epoch-seconds / width) stay < 2^31, so the combined long never
 #: overflows. Folding the window INTO the salt keeps the group-key
 #: shape (bucket, salt) — blocks, manifest, resume anti-join, and
-#: bucket-pruned decode are untouched by time clustering.
+#: bucket-pruned decode are untouched by time clustering. The stride
+#: is a pure function of salt_rows, so resume keying stays
+#: deterministic.
 SALT_WINDOW_STRIDE = 1 << 20
 
 
@@ -87,13 +90,17 @@ def with_group_keys(
     secs = resolve_time_bucket(time_bucket)
     if secs is None:
         return keyed.withColumn("salt", turn_salt)
+    # stride must exceed the max possible turn-salt (turn_idx is int32,
+    # so < 2^31/salt_rows) or a small salt_rows would bleed turn-salts
+    # into the next window's slot range — not a correctness issue
+    # (decode never interprets salt) but it would merge windows and
+    # widen zone maps, silently undoing the time clustering
+    stride = max(SALT_WINDOW_STRIDE, (1 << 31) // salt_rows + 1)
     window = F.coalesce(
         F.floor(F.unix_micros(F.col("ts")) / F.lit(secs * 1_000_000)).cast("long"),
         F.lit(-1).cast("long"),
     )
-    return keyed.withColumn(
-        "salt", window * F.lit(SALT_WINDOW_STRIDE) + turn_salt
-    )
+    return keyed.withColumn("salt", window * F.lit(stride) + turn_salt)
 
 
 def plan_num_buckets(n_rows: int, salt_rows: int = DEFAULT_SALT_ROWS, parallelism: int = 32) -> int:
@@ -142,3 +149,40 @@ def estimate_input_rows(spark, df: DataFrame) -> int:
     compressed = (".gz", ".bz2", ".zst", ".zstd", ".snappy", ".deflate", ".lz4", ".xz")
     ratio = 16.0 if any(f.endswith(compressed) for f in files) else 1.0
     return max(1, int(total_bytes * ratio / avg_line))
+
+
+def ts_span_from_footers(files: list[str], col: str = "ts"):
+    """(min_ts, max_ts) of a timestamp column from parquet FOOTER
+    row-group statistics only — zero data pages read, O(files) metadata
+    ops instead of an O(rows) column scan. Used by time-bucketed
+    auto-planning, where only the window COUNT matters (±1 window is
+    irrelevant). Returns None when any file is non-local/non-parquet or
+    lacks stats — callers fall back to the aggregate scan. If the
+    caller's frame filters the scan, footer stats overestimate the span,
+    which only overestimates the window count: conservative for
+    planning."""
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for f in files:
+        if not f.endswith(".parquet"):
+            return None
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None  # remote filesystems: let the caller scan
+        path = u.path or f
+        try:
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.names.index(col)
+        except Exception:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue  # all-null row group (or no stats): no bound
+            mn, mx = st.min, st.max
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+    return (lo, hi) if lo is not None else None

@@ -53,6 +53,11 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("blk_bytes", T.LongType(), True),
         T.StructField("ts_min", T.TimestampType(), True),
         T.StructField("ts_max", T.TimestampType(), True),
+        # null COUNT completes the ts zone map: min/max skip nulls, so
+        # "every row in this block is provably < cutoff" additionally
+        # needs ts_nulls == 0 (retention_sweep); null on legacy tables
+        # = unknown = never provable, the conservative read
+        T.StructField("ts_nulls", T.LongType(), True),
         T.StructField("conv_min", T.StringType(), True),
         T.StructField("conv_max", T.StringType(), True),
     ]

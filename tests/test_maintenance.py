@@ -1,0 +1,220 @@
+"""Lifecycle maintenance: compaction, zone-map retention, vacuum.
+
+The invariants under test are the commit protocol's: every rewrite
+swaps old→new triples at ONE manifest append (readers never see both),
+retire-only drops are proven by zone maps without reading data, and
+vacuum only removes rows no reader can see.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_converter_spark import checkpoint as ckpt
+from parquet_converter_spark.decode_job import decode_table
+from parquet_converter_spark.encode_job import encode_table
+from parquet_converter_spark.maintenance import (
+    compact_blocks,
+    reclaimable_bytes,
+    retention_sweep,
+    vacuum_blocks,
+)
+from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+from parquet_converter_spark.synth import synth_pandas
+from parquet_converter_spark.tableio import ParquetDirTableIO
+from parquet_converter_spark.verify import verify_decode
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    pdf = synth_pandas(n_convs=40, seed=42)
+    return spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).cache()
+
+
+def _blocks_count(io):
+    return ckpt.committed_blocks(io).count()
+
+
+def test_compact_rewrites_small_blocks_bit_identical(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cmp"))
+    io = ParquetDirTableIO(spark, out)
+    # tiny chunks → many under-filled blocks (the streaming-epoch shape)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=256,
+                 num_buckets=8, chunk_rows=256)
+    before = _blocks_count(io)
+    n = transcripts.count()
+
+    result = compact_blocks(spark, io, min_fill=0.5, chunk_rows=65_536, salt_rows=65_536)
+    assert result["compacted_groups"] > 0
+    assert result["rows"] == n
+    assert result["blocks_after"] < result["blocks_before"] == before
+
+    after = _blocks_count(io)
+    assert after == result["blocks_after"] < before
+    # the swap is invisible to readers: decode is still bit-identical
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+
+    # retired rows hold reclaimable bytes until vacuum
+    freed = reclaimable_bytes(io)
+    assert freed > 0
+    v = vacuum_blocks(spark, io)
+    assert v["bytes_reclaimed"] == freed
+    assert reclaimable_bytes(io) == 0
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+
+    # resume semantics survive maintenance: the source run is still
+    # "completed", so a rerun appends nothing
+    s = encode_table(spark, transcripts, io, run_id="r1", salt_rows=256,
+                     num_buckets=8, chunk_rows=256)
+    assert s["groups"] == 0
+
+
+def test_compact_noop_when_blocks_full_enough(spark, tmp_path_factory):
+    # uniform conversations: every block is exactly chunk_rows full, so
+    # nothing sits under the fill threshold
+    rows = [
+        (f"c{c}", i, "user", f"t{c}_{i}", None, None)
+        for c in range(4)
+        for i in range(512)
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("cmpn"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, df, io, run_id="r1", salt_rows=512, num_buckets=4, chunk_rows=256)
+    result = compact_blocks(spark, io, min_fill=0.5, chunk_rows=256)
+    assert result["compacted_groups"] == 0 and result["run_id"] is None
+    assert reclaimable_bytes(io) == 0
+
+
+def test_retention_sweep_time_bucketed_uses_zone_map_proofs(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ret"))
+    io = ParquetDirTableIO(spark, out)
+    # time-clustered: most groups are provably old/new; few straddle
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512,
+                 num_buckets=4, chunk_rows=512, time_bucket=900)
+    stats = ckpt.committed_blocks(io).agg(
+        F.min("ts_min").alias("lo"), F.max("ts_max").alias("hi")
+    ).collect()[0]
+    cutoff = stats["lo"] + (stats["hi"] - stats["lo"]) / 2
+
+    result = retention_sweep(spark, io, cutoff, salt_rows=512, chunk_rows=512,
+                             time_bucket=900)
+    # zone maps must prove SOME groups entirely old (never read)
+    assert result["retired_groups"] > 0
+    assert result["rewritten_groups"] > 0
+
+    expected = transcripts.where((F.col("ts") >= F.lit(cutoff)) | F.col("ts").isNull())
+    got = decode_table(spark, io)
+    assert verify_decode(got, expected)["ok"]
+
+    # manifest lineage: retirement rows exist, originals still present
+    m = ckpt.read_manifest(io)
+    assert m.where(F.col("status") == "retired").count() > 0
+    assert m.where(F.col("status") == "done").count() > 0
+    assert reclaimable_bytes(io) > 0
+    vacuum_blocks(spark, io)
+    assert verify_decode(decode_table(spark, io), expected)["ok"]
+
+
+def test_retention_sweep_unclustered_falls_back_to_rewrites(spark, transcripts, tmp_path_factory):
+    """Hash-bucket batch tables have timeline-wide zone maps: nothing is
+    provably old, so retention degrades to rewriting every touching
+    group — slower, still exact."""
+    out = str(tmp_path_factory.mktemp("retu"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512,
+                 num_buckets=4, chunk_rows=512)
+    stats = ckpt.committed_blocks(io).agg(
+        F.min("ts_min").alias("lo"), F.max("ts_max").alias("hi")
+    ).collect()[0]
+    cutoff = stats["lo"] + (stats["hi"] - stats["lo"]) / 2
+
+    result = retention_sweep(spark, io, cutoff, salt_rows=512, chunk_rows=512)
+    assert result["retired_groups"] == 0
+    assert result["rewritten_groups"] > 0
+    expected = transcripts.where((F.col("ts") >= F.lit(cutoff)) | F.col("ts").isNull())
+    assert verify_decode(decode_table(spark, io), expected)["ok"]
+
+
+def test_retention_keeps_null_ts_rows(spark, tmp_path_factory):
+    """Null ts can't be proven old — the conservative contract keeps
+    those rows through a sweep."""
+    from datetime import datetime
+
+    rows = [("c0", i, "user", f"t{i}", None, None) for i in range(10)]
+    rows += [("c1", i, "user", f"old{i}", None, datetime(2020, 1, 1, 0, 0, i)) for i in range(10)]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("retn"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, df, io, run_id="r1", salt_rows=512, num_buckets=2)
+
+    result = retention_sweep(spark, io, datetime(2023, 1, 1))
+    got = decode_table(spark, io)
+    assert got.count() == 10
+    assert got.where(F.col("ts").isNull()).count() == 10
+    assert result["retired_groups"] + result["rewritten_groups"] > 0
+
+
+class _FailManifestIO(ParquetDirTableIO):
+    """Raises on the manifest append — simulates a crash between the
+    blocks append and the commit."""
+
+    def append(self, df, name, compression="uncompressed"):
+        if name == ckpt.MANIFEST:
+            raise RuntimeError("simulated crash before manifest commit")
+        super().append(df, name, compression)
+
+
+def test_compact_crash_before_commit_leaves_readers_untouched(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cmpc"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=256,
+                 num_buckets=4, chunk_rows=256)
+    before = _blocks_count(io)
+
+    crashy = _FailManifestIO(spark, out)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_blocks(spark, crashy, min_fill=0.5, chunk_rows=65_536)
+
+    # no retire, no new visibility: readers see exactly the old table
+    assert _blocks_count(io) == before
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+    # the aborted attempt's orphan blocks are reclaimable garbage
+    assert reclaimable_bytes(io) > 0
+    vacuum_blocks(spark, io)
+    assert reclaimable_bytes(io) == 0
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+
+
+def test_retention_legacy_stats_never_prove_old(spark, transcripts, tmp_path_factory):
+    """Blocks with null ts_nulls (pre-statistic tables) must classify as
+    rewrite, never retire-outright — unknown can't prove anything."""
+    from datetime import datetime
+
+    out = str(tmp_path_factory.mktemp("retl"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512, num_buckets=4)
+    # simulate a legacy table: strip the ts_nulls statistic (via Spark,
+    # so the parquet logical types stay exactly what the engine writes)
+    import os
+    import shutil
+
+    legacy = spark.read.parquet(f"{out}/blocks").drop("ts_nulls")
+    legacy.write.mode("overwrite").option("compression", "uncompressed").parquet(
+        f"{out}/blocks__legacy"
+    )
+    shutil.rmtree(f"{out}/blocks")
+    os.rename(f"{out}/blocks__legacy", f"{out}/blocks")
+
+    cutoff = datetime(2099, 1, 1)  # every timestamped row is older than this
+    result = retention_sweep(spark, io, cutoff, salt_rows=512, chunk_rows=512)
+    assert result["retired_groups"] == 0       # nothing provable
+    assert result["rewritten_groups"] > 0      # everything rewritten
+    # every timestamped row drops; the fixture's few null-ts rows are
+    # kept (null can't be proven old — the conservative contract)
+    got = decode_table(spark, io)
+    assert got.where(F.col("ts").isNotNull()).count() == 0
+    n_null = transcripts.where(F.col("ts").isNull()).count()
+    assert got.count() == n_null
