@@ -110,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--time-bucket", default=None)
     tp.add_argument("--vacuum", action="store_true")
 
+    vcp = sub.add_parser("vacuum", help="physically reclaim retired/orphaned block rows")
+    vcp.add_argument("--out", required=True)
+
     ap = sub.add_parser("analyze", help="profile parquet tables in a dir (reference --mode analyze)")
     ap.add_argument("--input", required=True, help="dir containing *.parquet tables")
     ap.add_argument("--report", default=None, help="write text report here (default stdout)")
@@ -299,19 +302,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(result))
         return 0
 
+    if args.cmd == "vacuum":
+        from .maintenance import vacuum_blocks
+
+        print(json.dumps(vacuum_blocks(spark, _io(spark, args.out))))
+        return 0
+
     if args.cmd == "report":
         from . import checkpoint as ckpt
+        from .maintenance import reclaimable_bytes
         from pyspark.sql import functions as F
 
         io = _io(spark, args.out)
         manifest = ckpt.read_manifest(io)
-        summary = manifest.agg(
-            F.count("*").alias("groups"),
-            F.sum("n_rows").alias("rows"),
-            F.sum("encoded_bytes").alias("encoded_bytes"),
-        ).collect()[0]
+        # report VISIBLE state (what decode sees), plus maintenance debt
+        summary = (
+            manifest.where(F.col("status") == "done")
+            .join(ckpt.visible_triples(io), ["bucket", "salt", "run_id"], "left_semi")
+            .agg(
+                F.count("*").alias("groups"),
+                F.sum("n_rows").alias("rows"),
+                F.sum("encoded_bytes").alias("encoded_bytes"),
+            )
+            .collect()[0]
+        )
+        retired = manifest.where(F.col("status") == "retired").count()
         by_codec = (
             io.read(ckpt.METRICS)
+            .join(ckpt.visible_triples(io), ["bucket", "salt", "run_id"], "left_semi")
             .groupBy("column", "codec")
             .agg(F.sum("encoded_bytes").alias("bytes"), F.count("*").alias("groups"))
             .orderBy("column", "codec")
@@ -323,6 +341,8 @@ def main(argv: list[str] | None = None) -> int:
                     "groups": summary["groups"],
                     "rows": summary["rows"],
                     "encoded_bytes": summary["encoded_bytes"],
+                    "retired_groups": retired,
+                    "reclaimable_bytes": reclaimable_bytes(io),
                     "codecs": [
                         {
                             "column": r["column"],
