@@ -566,13 +566,20 @@ def _q_ivf_index_topk(spark, sf):
     Known-answer (equals ad-hoc ivf_ann_topk + degenerates to exact)
     in tests/test_known_answers.py; partition-prune plan asserted in
     tests/test_plans.py."""
+    import glob
     import hashlib
     import os
     import tempfile
 
     emb = _t(spark, sf, "embeddings")
-    tag = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
-    idx = os.path.join(tempfile.gettempdir(), f"pcs_ivf_idx_{tag}")
+    # cache key = CONTENT fingerprint (path + per-file size/mtime), so a
+    # regenerated embeddings table can never serve a stale index
+    src = os.path.join(os.path.abspath(sf), "embeddings.parquet")
+    sig = hashlib.md5(src.encode())
+    for f in sorted(glob.glob(os.path.join(src, "**", "*"), recursive=True) or [src]):
+        st = os.stat(f)
+        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    idx = os.path.join(tempfile.gettempdir(), f"pcs_ivf_idx_{sig.hexdigest()[:12]}")
     if not os.path.isdir(os.path.join(idx, "index_meta")):
         similarity.ivf_build_index(spark, emb, idx, n_cells=16)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]

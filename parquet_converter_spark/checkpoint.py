@@ -73,6 +73,21 @@ def committed_blocks(io) -> DataFrame:
     from .schema import BLOCKS_STORED_SCHEMA  # local import to avoid cycle
 
     if not io.exists(BLOCKS):
+        # a mid-vacuum crash leaves `blocks` momentarily absent with
+        # recovery remnants beside it — reading that as an EMPTY table
+        # would silently return 0 rows; fail loudly instead (any
+        # maintenance entry point repairs it, see recover_vacuum)
+        if hasattr(io, "path"):
+            import os
+
+            p = io.path(BLOCKS)
+            if os.path.isdir(p + "__vacuum") or os.path.isdir(p + "__old"):
+                raise RuntimeError(
+                    "blocks table missing but vacuum remnants exist — a "
+                    "vacuum crashed mid-swap; run "
+                    "maintenance.recover_vacuum(io) (or any maintenance "
+                    "command) to repair before reading"
+                )
         return io.spark.createDataFrame([], BLOCKS_STORED_SCHEMA)
     blocks = io.read(BLOCKS, BLOCKS_STORED_SCHEMA)
     # every visible (bucket, salt, run_id) triple is readable: distinct
@@ -84,3 +99,18 @@ def committed_blocks(io) -> DataFrame:
     # remain invisible because their run_id has no manifest row;
     # maintenance-superseded triples are hidden by their 'retired' row.
     return blocks.join(visible_triples(io), ["bucket", "salt", "run_id"], "left_semi")
+
+
+def retire_rows(triples: DataFrame) -> DataFrame:
+    """Manifest rows that RETIRE the given (bucket, salt, run_id)
+    triples — the single shape used by every maintenance path (keep it
+    here so a manifest schema change has one site to update)."""
+    return triples.select(
+        F.col("run_id").cast("string"),
+        F.col("bucket").cast("int"),
+        F.col("salt").cast("long"),
+        F.lit(0).cast("int").alias("n_chunks"),
+        F.lit(0).cast("long").alias("n_rows"),
+        F.lit(0).cast("long").alias("encoded_bytes"),
+        F.lit("retired").alias("status"),
+    )

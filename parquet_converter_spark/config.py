@@ -42,18 +42,14 @@ class EngineConfig:
         if self.time_bucket is not None:
             from .partitioning import resolve_time_bucket
 
-            tb = self.time_bucket
-            resolve_time_bucket(int(tb) if tb.lstrip("-").isdigit() else tb)
+            resolve_time_bucket(self.time_bucket)
         return self
 
     def resolved_time_bucket(self) -> int | None:
         """time_bucket as seconds (or None), for encode_table."""
         from .partitioning import resolve_time_bucket
 
-        tb = self.time_bucket
-        if tb is None:
-            return None
-        return resolve_time_bucket(int(tb) if tb.lstrip("-").isdigit() else tb)
+        return resolve_time_bucket(self.time_bucket)
 
     @classmethod
     def load(cls, path: str | None = None, env: dict | None = None) -> "EngineConfig":

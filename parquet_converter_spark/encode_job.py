@@ -362,16 +362,28 @@ def encode_table(
         )
     )
     if retire_triples is not None:
-        retire_rows = retire_triples.select(
-            F.col("run_id").cast("string"),
-            F.col("bucket").cast("int"),
-            F.col("salt").cast("long"),
-            F.lit(0).cast("int").alias("n_chunks"),
-            F.lit(0).cast("long").alias("n_rows"),
-            F.lit(0).cast("long").alias("encoded_bytes"),
-            F.lit("retired").alias("status"),
+        # maintenance rewrites are ALL-OR-NOTHING: if any group's
+        # re-encode errored, commit NOTHING — appending the retire rows
+        # would permanently hide the error groups' source data (data
+        # loss), and appending only the done rows would double the
+        # successful groups. Aborting leaves the new blocks as
+        # manifest-less orphans (invisible; vacuum reclaims them) and
+        # the old table untouched — the same guarantee as any crash
+        # before the commit point.
+        n_err = (
+            written.where(F.col("chunk") == -1).limit(1).count()
         )
-        manifest = manifest.unionByName(retire_rows)
+        if n_err:
+            raise RuntimeError(
+                "maintenance re-encode hit per-group errors; commit aborted — "
+                "old triples remain visible, new blocks are orphaned "
+                "(reclaimable via vacuum). Fix the cause and re-run."
+            )
+        manifest = manifest.unionByName(ckpt.retire_rows(retire_triples))
+        # the retire+done swap must land in ONE task commit: the
+        # manifest frame here is one row per group (tiny), so a single
+        # part file keeps the multi-file-commit window out of the swap
+        manifest = manifest.coalesce(1)
     io.append(manifest, ckpt.MANIFEST, compression="snappy")
 
     # table metadata: partitioning parameters decoders need for

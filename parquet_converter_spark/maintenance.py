@@ -58,14 +58,42 @@ def _visible_group_stats(io) -> DataFrame:
     )
 
 
+def _plan_rewrite_buckets(spark, io, triples, n_rows, salt_rows, time_bucket):
+    """(num_buckets, n_windows) for a maintenance rewrite. With time_bucket the
+    window count divides into the target (the same sliver compensation
+    encode_table's own auto-planning applies) — derived from the
+    selected triples' BLOCK ZONE MAPS, so no data is read. Without it,
+    plain rows/salt_rows planning."""
+    from .partitioning import plan_num_buckets, resolve_time_bucket
+
+    par = spark.sparkContext.defaultParallelism
+    secs = resolve_time_bucket(time_bucket)
+    if secs is None:
+        return plan_num_buckets(n_rows, salt_rows, par), 1
+    keys = triples.select("bucket", "salt", "run_id")
+    span = (
+        io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA)
+        .join(keys, ["bucket", "salt", "run_id"], "left_semi")
+        .agg(F.min("ts_min").alias("lo"), F.max("ts_max").alias("hi"))
+        .collect()[0]
+    )
+    n_windows = 1
+    if span["lo"] is not None and span["hi"] is not None:
+        n_windows = max(1, int((span["hi"] - span["lo"]).total_seconds() // secs) + 1)
+    return plan_num_buckets((n_rows + n_windows - 1) // n_windows, salt_rows, par), n_windows
+
+
 def _decode_triples(spark: SparkSession, io, triples: DataFrame) -> DataFrame:
     """Decode ONLY the given (bucket, salt, run_id) triples' blocks —
     the maintenance read path. Same vectorized mapInArrow decode as
-    decode_table, scoped by a semi-join on the (tiny) triple list."""
+    decode_table, scoped by a semi-join on the triple list (broadcast
+    only when it provably fits — a cold compact at 10^12 turns can
+    select millions of groups, same guard as the resume join)."""
+    keys = triples.select("bucket", "salt", "run_id")
+    if keys.limit(2_000_001).count() <= 2_000_000:
+        keys = F.broadcast(keys)
     blocks = io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA).join(
-        F.broadcast(triples.select("bucket", "salt", "run_id")),
-        ["bucket", "salt", "run_id"],
-        "left_semi",
+        keys, ["bucket", "salt", "run_id"], "left_semi"
     )
     from .decode_job import _decode_batches_arrow_cols
 
@@ -103,6 +131,7 @@ def compact_blocks(
     """
     if not 0.0 < min_fill <= 1.0:
         raise ValueError(f"min_fill must be in (0, 1], got {min_fill}")
+    recover_vacuum(io)
     stats = _visible_group_stats(io)
     small = stats.where(
         (F.col("n_rows") / F.greatest(F.col("n_chunks"), F.lit(1)))
@@ -121,9 +150,28 @@ def compact_blocks(
         return {"compacted_groups": 0, "rows": 0, "blocks_before": 0,
                 "blocks_after": 0, "run_id": None}
     triples = small.select("bucket", "salt", "run_id")
-    rows_df = _decode_triples(spark, io, triples)
-    from .partitioning import plan_num_buckets
+    # planned from manifest stats + zone maps — no planning data read;
+    # window-aware so a time-bucketed rewrite doesn't re-shatter
+    nb, n_windows = _plan_rewrite_buckets(
+        spark, io, triples, int(agg["rows"]), salt_rows, time_bucket
+    )
+    # CONVERGENCE guard: the group key floor is num_buckets × windows
+    # (plan_num_buckets never goes below 2×parallelism), so a rewrite
+    # cannot produce fewer blocks than that — if the selected groups
+    # already sit at that floor, rewriting would shuffle bytes forever
+    # without improving fill. Report the skip, never loop.
+    import math
 
+    achievable = max(nb * n_windows, math.ceil(int(agg["rows"]) / chunk_rows))
+    if achievable >= int(agg["chunks"]):
+        return {"compacted_groups": 0, "rows": 0,
+                "blocks_before": int(agg["chunks"]), "blocks_after": int(agg["chunks"]),
+                "run_id": None, "skipped": "rewrite cannot reduce block count "
+                f"(achievable floor {achievable} >= current {int(agg['chunks'])})"}
+    rows_df = _decode_triples(spark, io, triples)
+    # all-or-nothing: encode_table ABORTS the whole commit (raises, old
+    # table untouched, new blocks orphaned) if any group's re-encode
+    # errors — retire_triples makes that its contract
     summary = encode_table(
         spark,
         rows_df,
@@ -132,20 +180,11 @@ def compact_blocks(
         codec=codec,
         salt_rows=salt_rows,
         chunk_rows=chunk_rows,
-        # planned from manifest stats — skips the planning decode pass
-        num_buckets=plan_num_buckets(
-            int(agg["rows"]), salt_rows, spark.sparkContext.defaultParallelism
-        ),
+        num_buckets=nb,
         resume=False,          # rewrites must not be suppressed by resume
         time_bucket=time_bucket,
         retire_triples=triples,
     )
-    if summary["errors"]:
-        raise RuntimeError(
-            f"compact encode reported {summary['errors']} error groups; "
-            "their source triples were retired in the same commit — inspect "
-            "the manifest and re-encode from upstream before trusting decode"
-        )
     return {
         "compacted_groups": int(agg["groups"]),
         "rows": summary["rows"],
@@ -187,6 +226,7 @@ def retention_sweep(
     Returns {"retired_groups", "rewritten_groups", "rows_kept",
     "run_id"}.
     """
+    recover_vacuum(io)
     blocks = io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA).join(
         ckpt.visible_triples(io), ["bucket", "salt", "run_id"], "left_semi"
     )
@@ -241,9 +281,8 @@ def retention_sweep(
             (F.col("ts") >= F.lit(cutoff)) | F.col("ts").isNull()
         )
         # bucket planning from manifest stats (straddle row count is an
-        # upper bound on kept rows) — skips a planning decode pass
-        from .partitioning import plan_num_buckets
-
+        # upper bound on kept rows) — skips a planning decode pass;
+        # encode_table aborts the whole commit on any re-encode error
         est_rows = int(
             ckpt.read_manifest(io)
             .where(F.col("status") == "done")
@@ -255,31 +294,21 @@ def retention_sweep(
             spark, kept, io,
             run_id="retention", codec=codec, salt_rows=salt_rows,
             chunk_rows=chunk_rows, resume=False, time_bucket=time_bucket,
-            num_buckets=plan_num_buckets(
-                est_rows, salt_rows, spark.sparkContext.defaultParallelism
-            ),
+            num_buckets=_plan_rewrite_buckets(
+                spark, io, straddle, est_rows, salt_rows, time_bucket
+            )[0],
             retire_triples=straddle,
         )
-        if summary["errors"]:
-            raise RuntimeError(
-                f"retention re-encode reported {summary['errors']} error groups; "
-                "straddling triples were retired in the same commit — inspect "
-                "the manifest (error groups' rows are missing until repaired)"
-            )
         rows_kept = summary["rows"]
         rid = summary["physical_run_id"]
 
     if n_old:
-        retire_rows = old.select(
-            F.col("run_id").cast("string"),
-            F.col("bucket").cast("int"),
-            F.col("salt").cast("long"),
-            F.lit(0).cast("int").alias("n_chunks"),
-            F.lit(0).cast("long").alias("n_rows"),
-            F.lit(0).cast("long").alias("encoded_bytes"),
-            F.lit("retired").alias("status"),
+        # a partially-landed retire-only append just drops fewer groups
+        # than asked (re-run to finish) — still coalesce(1) so the
+        # common case is one task commit
+        io.append(
+            ckpt.retire_rows(old).coalesce(1), ckpt.MANIFEST, compression="snappy"
         )
-        io.append(retire_rows, ckpt.MANIFEST, compression="snappy")
 
     return {
         "retired_groups": n_old,
@@ -289,11 +318,58 @@ def retention_sweep(
     }
 
 
+def recover_vacuum(io) -> str | None:
+    """Repair a crashed vacuum swap (idempotent; called automatically
+    by every maintenance entry point and by the blocks reader guard).
+
+    The swap protocol writes the kept rows to ``blocks__vacuum`` (with
+    Spark's _SUCCESS marker), renames ``blocks``→``blocks__old``, then
+    ``blocks__vacuum``→``blocks``, then removes ``blocks__old``. Every
+    crash point is recoverable from the on-disk remnants:
+
+    * ``blocks`` present + ``__old`` remnant → crash after the second
+      rename: finish by removing ``__old`` (and any stale ``__vacuum``).
+    * ``blocks`` missing + complete ``__vacuum`` → crash between the
+      renames: roll FORWARD (rename ``__vacuum``→``blocks``).
+    * ``blocks`` missing + ``__old`` only (or incomplete ``__vacuum``)
+      → roll BACK (rename ``__old``→``blocks``).
+
+    Returns the action taken ('forward', 'back', 'cleanup') or None.
+    """
+    import os
+    import shutil
+
+    from .tableio import ParquetDirTableIO
+
+    if not isinstance(io, ParquetDirTableIO):
+        return None
+    final = io.path(ckpt.BLOCKS)
+    tmp_path = final + "__vacuum"
+    old_path = final + "__old"
+    tmp_complete = os.path.isfile(os.path.join(tmp_path, "_SUCCESS"))
+    if os.path.isdir(final):
+        if os.path.isdir(old_path) or os.path.isdir(tmp_path):
+            shutil.rmtree(old_path, ignore_errors=True)
+            shutil.rmtree(tmp_path, ignore_errors=True)
+            return "cleanup"
+        return None
+    if tmp_complete:
+        os.rename(tmp_path, final)
+        shutil.rmtree(old_path, ignore_errors=True)
+        return "forward"
+    if os.path.isdir(old_path):
+        os.rename(old_path, final)
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        return "back"
+    return None
+
+
 def reclaimable_bytes(io) -> int:
     """Bytes held by block rows no reader can see (retired / orphaned)
     — what vacuum_blocks would free. Manifest-side only for the
     retired portion; orphans need the blocks scan, so this reads the
     blocks table's small columns (binary columns pruned)."""
+    recover_vacuum(io)
     if not io.exists(ckpt.BLOCKS):
         return 0
     blocks = io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA).select(
@@ -308,12 +384,16 @@ def vacuum_blocks(spark: SparkSession, io) -> dict:
     orphaned uncommitted attempts) by rewriting the blocks table.
 
     Parquet-dir mechanics: write the visible rows to a sibling temp
-    dir, then atomically swap directories — readers racing the swap see
-    either the old or the new complete table. On Iceberg the same
-    operation is a metadata-level DELETE (no full rewrite); this is the
-    jar-free equivalent. A FULL rewrite is the honest cost on a plain
-    filesystem — run it at maintenance cadence, not per-job. Returns
-    {"bytes_reclaimed", "rows_kept"}.
+    dir (Spark's _SUCCESS marker proves completeness), then swap
+    directories. The two renames are individually atomic but the pair
+    is not — every crash point is repaired by ``recover_vacuum``
+    (roll forward off a complete temp, roll back off the saved old
+    dir), which runs automatically at the start of every maintenance
+    entry point and in the blocks reader guard. On Iceberg the same
+    operation is a metadata-level DELETE (no full rewrite); this is
+    the jar-free equivalent. A FULL rewrite is the honest cost on a
+    plain filesystem — run it at maintenance cadence, not per-job.
+    Returns {"bytes_reclaimed", "rows_kept"}.
     """
     import os
     import shutil
@@ -326,8 +406,20 @@ def vacuum_blocks(spark: SparkSession, io) -> dict:
             "DELETE WHERE (bucket, salt, run_id) NOT IN visible_triples "
             "+ rewrite_data_files (metadata-level, no full rewrite)"
         )
+    recover_vacuum(io)  # finish/abort any prior crashed swap first
     freed = reclaimable_bytes(io)
-    if freed == 0:
+    # decide on dead ROWS, not bytes: aborted-commit orphans include
+    # 0-byte error-marker rows that still deserve removal
+    if not io.exists(ckpt.BLOCKS):
+        return {"bytes_reclaimed": 0, "rows_kept": -1}
+    dead_rows = (
+        io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA)
+        .select("bucket", "salt", "run_id")
+        .join(ckpt.visible_triples(io), ["bucket", "salt", "run_id"], "left_anti")
+        .limit(1)
+        .count()
+    )
+    if dead_rows == 0:
         return {"bytes_reclaimed": 0, "rows_kept": -1}
     visible = ckpt.committed_blocks(io)
     tmp_path = io.path(ckpt.BLOCKS) + "__vacuum"

@@ -328,18 +328,22 @@ def simhash_near_dup_pairs(
     base, extra = divmod(64, bands)
     widths = [base + (1 if b < extra else 0) for b in range(bands)]
     offsets = [sum(widths[:b]) for b in range(bands)]
+    def _band_bits(b: int):
+        # a 64-bit-wide band (max_hamming=0 → one band) IS the whole
+        # fingerprint: the mask literal 2^64-1 would overflow a Java
+        # long, and no masking is needed
+        shifted = F.shiftrightunsigned("simhash", offsets[b])
+        if widths[b] >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[b]) - 1))
+
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", offsets[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _band_bits(b).alias("bh"))
                     for b in range(bands)
                 ]
             )

@@ -48,16 +48,20 @@ SALT_WINDOW_STRIDE = 1 << 20
 
 
 def resolve_time_bucket(time_bucket) -> int | None:
-    """None | 'hour'/'day'/'week' | positive seconds → seconds or None."""
+    """None | 'hour'/'day'/'week' | positive seconds (int or numeric
+    string — CLI/config values arrive as strings) → seconds or None."""
     if time_bucket is None:
         return None
     if isinstance(time_bucket, str):
-        if time_bucket not in TIME_BUCKETS:
+        if time_bucket in TIME_BUCKETS:
+            return TIME_BUCKETS[time_bucket]
+        try:
+            time_bucket = int(time_bucket)
+        except ValueError:
             raise ValueError(
                 f"time_bucket must be one of {sorted(TIME_BUCKETS)} or seconds, "
                 f"got {time_bucket!r}"
-            )
-        return TIME_BUCKETS[time_bucket]
+            ) from None
     secs = int(time_bucket)
     if secs <= 0:
         raise ValueError(f"time_bucket seconds must be positive, got {time_bucket}")
@@ -96,9 +100,16 @@ def with_group_keys(
     # (decode never interprets salt) but it would merge windows and
     # widen zone maps, silently undoing the time clustering
     stride = max(SALT_WINDOW_STRIDE, (1 << 31) // salt_rows + 1)
+    # null-ts sentinel sits far outside any reachable window index
+    # (|window| < 2^35 for representable int64-µs timestamps at ≥1s
+    # widths), so real pre-epoch rows (window -1, -2, …) never
+    # co-locate with the null-ts group and can't widen its stats.
+    # Stride-relative so sentinel*stride stays within long range under
+    # ANSI overflow checking for any salt_rows.
+    sentinel = -((1 << 62) // stride)
     window = F.coalesce(
         F.floor(F.unix_micros(F.col("ts")) / F.lit(secs * 1_000_000)).cast("long"),
-        F.lit(-1).cast("long"),
+        F.lit(sentinel).cast("long"),
     )
     return keyed.withColumn("salt", window * F.lit(stride) + turn_salt)
 

@@ -407,6 +407,7 @@ def test_time_bucket_validation():
     assert resolve_time_bucket(None) is None
     assert resolve_time_bucket("day") == 86_400
     assert resolve_time_bucket(7200) == 7_200
+    assert resolve_time_bucket("3600") == 3_600  # CLI/config pass strings
     with pytest.raises(ValueError):
         resolve_time_bucket("fortnight")
     with pytest.raises(ValueError):

@@ -419,3 +419,15 @@ def test_ivf_index_query_matches_adhoc(spark, tmp_path):
     # probe-all degenerates to exact
     exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
     assert [r["vec_id"] for r in similarity.ivf_query(spark, idx, q, k=10, n_probe=3).collect()] == exact
+
+
+def test_simhash_near_dup_pairs_exact_mode_hamming_zero(spark):
+    """max_hamming=0 (one 64-bit band — the whole fingerprint) must not
+    overflow the band mask; it degenerates to exact-fingerprint pairing."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    got = [(r["a_id"], r["b_id"], r["hamming"])
+           for r in dedup.simhash_near_dup_pairs(df, max_hamming=0).collect()]
+    assert got == [(1, 2, 0)]

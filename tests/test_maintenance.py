@@ -218,3 +218,97 @@ def test_retention_legacy_stats_never_prove_old(spark, transcripts, tmp_path_fac
     assert got.where(F.col("ts").isNotNull()).count() == 0
     n_null = transcripts.where(F.col("ts").isNull()).count()
     assert got.count() == n_null
+
+
+def test_maintenance_aborts_whole_commit_on_encode_error(spark, transcripts, tmp_path_factory):
+    """If any group's re-encode errors, NOTHING commits: no retire rows
+    (old data stays visible), new blocks stay orphaned. The alternative
+    — retiring sources whose replacement errored — is data loss."""
+    out = str(tmp_path_factory.mktemp("cmpe"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=256,
+                 num_buckets=4, chunk_rows=256)
+    manifest_before = ckpt.read_manifest(io).count()
+
+    with pytest.raises(RuntimeError, match="commit aborted"):
+        # a bogus codec makes every group's re-encode raise in the UDF
+        compact_blocks(spark, io, min_fill=0.5, chunk_rows=65_536, codec="no_such_codec")
+
+    m = ckpt.read_manifest(io)
+    assert m.count() == manifest_before            # no manifest rows landed
+    assert m.where(F.col("status") == "retired").count() == 0
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+    # the aborted attempt's orphans (0-byte error markers here) are
+    # still physical rows; vacuum removes them by ROW, not byte count
+    def orphan_rows():
+        from parquet_converter_spark.schema import BLOCKS_STORED_SCHEMA
+
+        return (
+            io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA)
+            .select("bucket", "salt", "run_id")
+            .join(ckpt.visible_triples(io), ["bucket", "salt", "run_id"], "left_anti")
+            .count()
+        )
+
+    assert orphan_rows() > 0
+    vacuum_blocks(spark, io)
+    assert orphan_rows() == 0
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+
+
+def test_vacuum_crash_recovery_all_states(spark, transcripts, tmp_path_factory):
+    """Every crash point of the vacuum swap must repair: roll forward
+    off a complete temp dir, roll back off the saved old dir, and the
+    blocks reader must refuse to read the crashed state as empty."""
+    import os
+    import shutil
+
+    from parquet_converter_spark.maintenance import recover_vacuum
+
+    out = str(tmp_path_factory.mktemp("vcr"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512, num_buckets=4)
+    blocks_dir = io.path(ckpt.BLOCKS)
+    n = _blocks_count(io)
+
+    # --- crash BETWEEN the renames, temp complete → roll FORWARD
+    shutil.copytree(blocks_dir, blocks_dir + "__vacuum")
+    os.rename(blocks_dir, blocks_dir + "__old")
+    with pytest.raises(RuntimeError, match="vacuum crashed mid-swap"):
+        ckpt.committed_blocks(io).count()          # reader guard, not silent empty
+    assert recover_vacuum(io) == "forward"
+    assert _blocks_count(io) == n
+
+    # --- crash after rename1 with INCOMPLETE temp → roll BACK
+    shutil.copytree(blocks_dir, blocks_dir + "__vacuum")
+    os.remove(os.path.join(blocks_dir + "__vacuum", "_SUCCESS"))
+    os.rename(blocks_dir, blocks_dir + "__old")
+    assert recover_vacuum(io) == "back"
+    assert _blocks_count(io) == n
+
+    # --- crash after rename2 (old dir remnant) → cleanup
+    shutil.copytree(blocks_dir, blocks_dir + "__old")
+    assert recover_vacuum(io) == "cleanup"
+    assert not os.path.isdir(blocks_dir + "__old")
+    assert _blocks_count(io) == n
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+
+
+def test_compact_time_bucketed_converges(spark, transcripts, tmp_path_factory):
+    """Compacting a time-bucketed table with time_bucket set must plan
+    window-aware buckets — a second compact is a no-op, not an endless
+    re-shatter."""
+    out = str(tmp_path_factory.mktemp("cmptb"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=64,
+                 num_buckets=8, chunk_rows=64, time_bucket=900)
+    r1 = compact_blocks(spark, io, min_fill=0.5, chunk_rows=1024,
+                        salt_rows=1024, time_bucket=900)
+    assert r1["compacted_groups"] > 0
+    assert r1["blocks_after"] < r1["blocks_before"]
+    r2 = compact_blocks(spark, io, min_fill=0.5, chunk_rows=1024,
+                        salt_rows=1024, time_bucket=900)
+    # groups now sit at the bucket×window floor: the guard reports the
+    # skip instead of rewriting the same bytes forever
+    assert r2["compacted_groups"] == 0 and "skipped" in r2, r2
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
