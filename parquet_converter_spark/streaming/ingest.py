@@ -29,6 +29,9 @@ def stream_encode(
     salt_rows: int = 65_536,
     codec: str = "auto",
     max_files_per_trigger: int = 8,
+    compact_every: int | None = None,
+    compact_chunk_rows: int = 65_536,
+    compact_time_bucket=None,
 ):
     """readStream over a landing directory → encode each micro-batch.
 
@@ -36,12 +39,25 @@ def stream_encode(
     leave it running (production). Group-level idempotence comes from
     the engine's own manifest anti-join, so a replayed micro-batch
     (at-least-once source) cannot double-encode a completed group.
+
+    ``compact_every=N`` runs ``maintenance.compact_blocks`` after every
+    N-th non-empty epoch — streaming is the main producer of
+    under-filled blocks (each epoch commits its own small groups), and
+    in-line compaction keeps read amplification bounded without a
+    separate maintenance job. Pass ``compact_time_bucket`` to keep the
+    rewrite time-clustered: epochs are naturally time-ordered, and a
+    window-less compact would merge their tight ts zone maps into
+    timeline-wide ones, un-pruning ``decode_time_slice``. Compaction
+    runs inside the foreachBatch callback (single writer — no
+    concurrent-commit hazard); a compaction failure fails the epoch,
+    and the next trigger retries it (the encode commit is idempotent).
     """
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+    seen = {"epochs": 0}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -58,6 +74,18 @@ def stream_encode(
             # epochs' groups (same keys, disjoint data) never suppress it
             resume_scope="run",
         )
+        seen["epochs"] += 1
+        if compact_every and seen["epochs"] % compact_every == 0:
+            from ..maintenance import compact_blocks
+
+            compact_blocks(
+                spark, io,
+                chunk_rows=compact_chunk_rows,
+                salt_rows=salt_rows,
+                codec=codec,
+                time_bucket=compact_time_bucket,
+                run_id=f"stream_compact_{epoch_id}",
+            )
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -353,3 +353,56 @@ def test_event_time_tracker_null_ts_group_still_expires():
     st.hasTimedOut = True
     closed = list(track(("c",), [], st))
     assert closed[0]["closed"].iloc[0] and not st.exists
+
+
+@pytest.mark.slow
+def test_stream_encode_auto_compaction_preserves_time_clustering(spark, tmp_path):
+    """compact_every folds the streaming epochs' small blocks into
+    full-size ones from inside the sink, and compact_time_bucket keeps
+    the rewrite time-clustered so slices still prune."""
+    from datetime import datetime, timezone
+
+    from parquet_converter_spark import checkpoint as ckpt
+    from parquet_converter_spark.decode_job import decode_table, decode_time_slice
+    from parquet_converter_spark.schema import TRANSCRIPT_SCHEMA
+    from parquet_converter_spark.streaming.ingest import stream_encode
+    from parquet_converter_spark.tableio import ParquetDirTableIO
+    from parquet_converter_spark.verify import verify_decode
+
+    def ts(day, sec):
+        return datetime(
+            2024, 1, day, 0, sec // 60, sec % 60, tzinfo=timezone.utc
+        ).replace(tzinfo=None)
+
+    landing = str(tmp_path / "landing")
+    all_rows = []
+    for day in (1, 2, 15, 16):  # two week-windows, two epochs each
+        rows = [(f"c{day}_{i}", 0, "user", f"d{day} {i}", None, ts(day, i)) for i in range(100)]
+        all_rows += rows
+        spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    io = ParquetDirTableIO(spark, str(tmp_path / "enc"))
+    q = stream_encode(
+        spark, landing, io, str(tmp_path / "ckpt"), salt_rows=1024,
+        max_files_per_trigger=1,
+        compact_every=4, compact_chunk_rows=65_536, compact_time_bucket="week",
+    )
+    q.awaitTermination(180)
+
+    m = ckpt.read_manifest(io)
+    assert m.where(F.col("status") == "retired").count() > 0  # compaction ran
+    src = spark.createDataFrame(all_rows, schema=TRANSCRIPT_SCHEMA)
+    assert verify_decode(decode_table(spark, io), src)["ok"]
+
+    # week-clustered rewrite: a day-16 slice skips the week-0 blocks
+    blocks = ckpt.committed_blocks(io)
+    total = blocks.count()
+    lo, hi = ts(16, 0), ts(16, 99)
+    touched = blocks.where(
+        (F.col("ts_min") <= F.lit(hi)) & (F.col("ts_max") >= F.lit(lo))
+    ).count()
+    assert 0 < touched < total, (touched, total)
+    got = decode_time_slice(spark, io, lo, hi)
+    assert got.count() == 100
