@@ -65,7 +65,7 @@ def test_turn_rate_windows_watermarked(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600s"
     # append-mode emits only watermark-closed windows; with a bounded
     # source the final windows stay open, so assert the aggregation
     # plan executed and produced a queryable table
@@ -94,7 +94,7 @@ def test_stream_encode_micro_batches(spark, tmp_path):
 
     io = ParquetDirTableIO(spark, str(tmp_path / "enc"))
     q = stream_encode(spark, landing, io, str(tmp_path / "ckpt"), salt_rows=1024)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600s"
 
     decoded = decode_table(spark, io)
     result = verify_decode(decoded, src)
@@ -165,7 +165,7 @@ def _run_event_time_sessions(spark, landing, ckpt_dir, name, gap_seconds=30):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600s"
     return sorted(
         tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
     )
@@ -227,7 +227,7 @@ def test_streaming_epochs_give_tight_zone_maps(spark, tmp_path):
         spark, landing, io, str(tmp_path / "ckpt"), salt_rows=1024,
         max_files_per_trigger=1,  # one landing file per epoch = per day
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600s"
 
     blocks = ckpt.committed_blocks(io)
     total = blocks.count()
@@ -274,7 +274,7 @@ def test_stateful_conversation_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600s"
 
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert rows, "stateful op emitted nothing"
@@ -389,7 +389,9 @@ def test_stream_encode_auto_compaction_preserves_time_clustering(spark, tmp_path
         max_files_per_trigger=1,
         compact_every=4, compact_chunk_rows=65_536, compact_time_bucket="week",
     )
-    q.awaitTermination(180)
+    # availableNow terminates on its own; a degraded-VM window can push
+    # the 4 epochs + in-line compaction well past the standalone ~45 s
+    assert q.awaitTermination(600), "stream did not finish within 600s"
 
     m = ckpt.read_manifest(io)
     assert m.where(F.col("status") == "retired").count() > 0  # compaction ran
