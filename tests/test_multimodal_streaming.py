@@ -260,6 +260,9 @@ def test_stateful_conversation_sessions(spark, tmp_path):
     src.where(F.col("turn_idx") % 2 == 0).coalesce(1).write.mode("append").parquet(landing)
     src.where(F.col("turn_idx") % 2 == 1).coalesce(1).write.mode("append").parquet(landing)
 
+    want = {r["conv_id"]: r["cnt"] for r in
+            src.groupBy("conv_id").agg(F.count("*").alias("cnt")).collect()}
+
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
@@ -274,7 +277,27 @@ def test_stateful_conversation_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "stream did not finish within 600s"
+    # a ProcessingTimeTimeout stateful query does NOT reliably
+    # self-terminate under availableNow (the idle-timeout machinery can
+    # keep it alive to fire timeouts), so POLL the sink until every
+    # conversation's update carries its full turn count (= both batches
+    # processed and state crossed the boundary), then stop explicitly
+    import time
+
+    def last_counts():
+        got = {}
+        for r in spark.sql("SELECT conv_id, turns FROM sessions").collect():
+            got[r["conv_id"]] = max(got.get(r["conv_id"], 0), r["turns"])
+        return got
+
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if q.awaitTermination(5):
+            break
+        if last_counts() == want:
+            break
+    if q.isActive:
+        q.stop()
 
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert rows, "stateful op emitted nothing"
@@ -283,8 +306,6 @@ def test_stateful_conversation_sessions(spark, tmp_path):
     last = {}
     for r in rows:
         last[r["conv_id"]] = max(last.get(r["conv_id"], 0), r["turns"])
-    want = {r["conv_id"]: r["cnt"] for r in
-            src.groupBy("conv_id").agg(F.count("*").alias("cnt")).collect()}
     assert last == want
     # role split is exact too
     by_conv = {}
