@@ -156,23 +156,31 @@ def main() -> int:
             return 1
         extra["slice_rows"] = sliced
 
-        # ---- time-clustered batch encode (r4): same table encoded with
-        # time_bucket=day — the ts zone maps now prune on the BATCH path
-        # (the r3 control above shows hash-bucket batch encode prunes 0%)
+        # ---- time-clustered batch encode (r4, hour-granularity r5):
+        # same table encoded with time_bucket=hour — the ts zone maps
+        # now prune on the BATCH path (the r3 control above shows
+        # hash-bucket batch encode prunes 0%). Hour windows give tight
+        # slices immediately but under-filled blocks at this sf (the
+        # ingest shape: hourly epochs); the paired WINDOW-PRESERVING
+        # compaction below repairs fill at a planner-chosen coarser
+        # window that keeps the touched fraction ≈ the slice fraction.
+        def _touched(blocks_df):
+            return blocks_df.where(
+                (F.col("ts_min").isNull() | (F.col("ts_min") <= F.lit(w_hi)))
+                & (F.col("ts_max").isNull() | (F.col("ts_max") >= F.lit(w_lo)))
+            ).count()
+
         tb_dir = os.path.join(tmp, "enc_tb")
         tb_io = ParquetDirTableIO(spark, tb_dir)
         t0 = time.time()
         tb_summary = encode_table(
             spark, df, tb_io, run_id="bench-tb", salt_rows=32_768,
-            time_bucket="day",
+            time_bucket="hour",
         )
         queries["encode_time_bucketed"] = round(time.time() - t0, 3)
         tb_blocks = ckpt.committed_blocks(tb_io)
         extra["tb_total_blocks"] = tb_blocks.count()
-        extra["tb_touched_blocks"] = tb_blocks.where(
-            (F.col("ts_min").isNull() | (F.col("ts_min") <= F.lit(w_hi)))
-            & (F.col("ts_max").isNull() | (F.col("ts_max") >= F.lit(w_lo)))
-        ).count()
+        extra["tb_touched_blocks"] = _touched(tb_blocks)
         extra["tb_encoded_bytes_per_turn"] = round(tb_summary["encoded_bytes"] / n_rows, 2)
         t0 = time.time()
         tb_sliced = decode_time_slice(spark, tb_io, w_lo, w_hi).count()
@@ -182,13 +190,23 @@ def main() -> int:
                               "detail": {"tb_sliced": tb_sliced, "full": full_filtered}}))
             return 1
 
-        # lifecycle maintenance (r4): compact the time-bucketed table's
-        # small windows back to full-size blocks, then digest-verify the
-        # swap was invisible to readers
+        # lifecycle maintenance: window-preserving compaction of the
+        # hourly slivers at a planner-chosen coarser window, then
+        # digest-verify the swap was invisible to readers. The touched
+        # fraction on the 5% slice must stay ≈ the slice fraction
+        # (≤ max_touch_frac) after blocks grow to full size.
         from parquet_converter_spark.maintenance import compact_blocks, vacuum_blocks
+        from parquet_converter_spark.partitioning import plan_compact_time_bucket
 
+        span_secs = span.total_seconds()
+        compact_w = plan_compact_time_bucket(
+            span_secs, n_rows, chunk_rows=65_536,
+            slice_secs=(w_hi - w_lo).total_seconds(), max_touch_frac=0.10,
+        )
+        extra["compact_window_secs"] = compact_w
         t0 = time.time()
-        cres = compact_blocks(spark, tb_io, min_fill=0.5, chunk_rows=65_536, salt_rows=32_768)
+        cres = compact_blocks(spark, tb_io, min_fill=0.5, chunk_rows=65_536,
+                              salt_rows=32_768, time_bucket=compact_w)
         queries["compact_tb"] = round(time.time() - t0, 3)
         extra["compact_blocks_before"] = cres["blocks_before"]
         extra["compact_blocks_after"] = cres["blocks_after"]
@@ -196,6 +214,17 @@ def main() -> int:
         vres = vacuum_blocks(spark, tb_io)
         queries["vacuum_tb"] = round(time.time() - t0, 3)
         extra["vacuum_bytes_reclaimed"] = vres["bytes_reclaimed"]
+        tb_blocks2 = ckpt.committed_blocks(tb_io)
+        extra["tb_blocks_after_compact"] = tb_blocks2.count()
+        extra["tb_touched_after_compact"] = _touched(tb_blocks2)
+        t0 = time.time()
+        tb_sliced2 = decode_time_slice(spark, tb_io, w_lo, w_hi).count()
+        queries["decode_time_slice_tb_compacted"] = round(time.time() - t0, 3)
+        if tb_sliced2 != full_filtered:
+            print(json.dumps({"metric": "FAILED_TB_SLICE_COMPACTED", "value": -1,
+                              "unit": "sec",
+                              "detail": {"tb_sliced": tb_sliced2, "full": full_filtered}}))
+            return 1
         cver = verify_decode_digest(decode_table(spark, tb_io), df)
         if not cver["ok"]:
             print(json.dumps({"metric": "FAILED_COMPACT_VERIFY", "value": -1,

@@ -101,6 +101,46 @@ def committed_blocks(io) -> DataFrame:
     return blocks.join(visible_triples(io), ["bucket", "salt", "run_id"], "left_semi")
 
 
+def prior_geometry(
+    io, run_id: str, salt_rows: int, chunk_rows: int, tb_secs: int | None
+) -> int | None:
+    """num_buckets recorded by a prior attempt of this LOGICAL run with
+    identical grouping parameters, or None.
+
+    A resumed run must key groups exactly as the committed manifest
+    does, so when a prior attempt's table_meta row matches
+    (salt_rows, chunk_rows, time_bucket_secs), its num_buckets is both
+    the CORRECT choice (re-planning from a changed row estimate would
+    silently misalign the resume anti-join) and the cheap one: reusing
+    it skips every planning scan — the row estimate and, for
+    time-bucketed runs, the min/max(ts) span scan. Returns None when no
+    attempt matches or attempts disagree (caller re-plans)."""
+    from .schema import TABLE_META_SCHEMA
+
+    if not io.exists(TABLE_META):
+        return None
+    m = io.read(TABLE_META, TABLE_META_SCHEMA)
+    rows = (
+        m.where(
+            (F.col("run_id") == run_id) | F.col("run_id").startswith(run_id + "~")
+        )
+        .where(F.col("salt_rows") == int(salt_rows))
+        .where(F.col("chunk_rows") == int(chunk_rows))
+        .where(
+            F.col("time_bucket_secs").eqNullSafe(
+                F.lit(tb_secs).cast("long")
+            )
+        )
+        .select("num_buckets")
+        .distinct()
+        .limit(2)
+        .collect()
+    )
+    if len(rows) == 1:
+        return int(rows[0]["num_buckets"])
+    return None
+
+
 def retire_rows(triples: DataFrame) -> DataFrame:
     """Manifest rows that RETIRE the given (bucket, salt, run_id)
     triples — the single shape used by every maintenance path (keep it

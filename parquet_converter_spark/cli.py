@@ -103,12 +103,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-cluster the rewrite by time window (hour|day|week|<seconds>)")
     mp.add_argument("--vacuum", action="store_true",
                     help="also rewrite the blocks table, physically dropping retired rows")
+    mp.add_argument("--max-groups", type=int, default=None,
+                    help="bound one maintenance window to this many groups; repeat until compacted_groups=0")
 
     tp = sub.add_parser("retention", help="drop rows older than a cutoff (zone-map-proven)")
     tp.add_argument("--out", required=True)
     tp.add_argument("--before", required=True, help="ISO timestamp; rows with ts < cutoff drop")
     tp.add_argument("--time-bucket", default=None)
     tp.add_argument("--vacuum", action="store_true")
+    tp.add_argument("--max-groups", type=int, default=None,
+                    help="bound one window's straddle rewrites; repeat until rewritten_groups=0")
 
     vcp = sub.add_parser("vacuum", help="physically reclaim retired/orphaned block rows")
     vcp.add_argument("--out", required=True)
@@ -280,6 +284,7 @@ def main(argv: list[str] | None = None) -> int:
         result = compact_blocks(
             spark, io, min_fill=args.min_fill, chunk_rows=args.chunk_rows,
             time_bucket=resolve_time_bucket(args.time_bucket),
+            max_groups=args.max_groups,
         )
         if args.vacuum:
             result["vacuum"] = vacuum_blocks(spark, io)
@@ -296,6 +301,7 @@ def main(argv: list[str] | None = None) -> int:
         result = retention_sweep(
             spark, io, datetime.fromisoformat(args.before),
             time_bucket=resolve_time_bucket(args.time_bucket),
+            max_groups=args.max_groups,
         )
         if args.vacuum:
             result["vacuum"] = vacuum_blocks(spark, io)
@@ -310,7 +316,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "report":
         from . import checkpoint as ckpt
-        from .maintenance import reclaimable_bytes
+        from .maintenance import reclaimable_bytes, vacuum_remnants
         from pyspark.sql import functions as F
 
         io = _io(spark, args.out)
@@ -342,7 +348,12 @@ def main(argv: list[str] | None = None) -> int:
                     "rows": summary["rows"],
                     "encoded_bytes": summary["encoded_bytes"],
                     "retired_groups": retired,
-                    "reclaimable_bytes": reclaimable_bytes(io),
+                    # repair=False: report is READ-ONLY — it must not
+                    # rename/delete directories (and must not race a
+                    # vacuum mid-swap in another process); remnants of
+                    # a crashed swap are surfaced instead of repaired
+                    "reclaimable_bytes": reclaimable_bytes(io, repair=False),
+                    "vacuum_remnants": vacuum_remnants(io),
                     "codecs": [
                         {
                             "column": r["column"],

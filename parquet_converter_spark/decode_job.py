@@ -30,8 +30,12 @@ def _check_format_version(io) -> None:
         return  # pre-table_meta tables are format 1 by definition
     from pyspark.sql import functions as F
 
+    from .schema import TABLE_META_SCHEMA
+
+    # pinned schema: meta files written before the geometry columns
+    # existed read them as nulls instead of poisoning schema inference
     vmax = (
-        io.read(ckpt.TABLE_META)
+        io.read(ckpt.TABLE_META, TABLE_META_SCHEMA)
         .agg(F.max("format_version").alias("v"))
         .collect()[0]["v"]
     )
@@ -254,20 +258,36 @@ def decode_conversation(
 
     buckets = None
     if io.exists(ckpt.TABLE_META):
-        meta = io.read(ckpt.TABLE_META)
-        nbs = [r["num_buckets"] for r in meta.select("num_buckets").distinct().collect()]
-        one = spark.createDataFrame([(conv_id,)], "conv_id string")
-        buckets = sorted(
-            {
-                one.select(
-                    F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("b")
-                ).collect()[0]["b"]
-                for nb in nbs
-            }
+        from .schema import TABLE_META_SCHEMA
+
+        meta = io.read(ckpt.TABLE_META, TABLE_META_SCHEMA)
+        # ONE pre-decode job computes every candidate bucket AND probes
+        # for visible runs missing their geometry row (a legacy-engine
+        # crash between manifest and meta appends — current engine
+        # writes meta first, so only old tables can be in that state):
+        # left-join visible run_ids against meta and hash the literal
+        # conv_id under each recorded bucketing in the same plan. A
+        # null num_buckets row means some visible run has unknown
+        # geometry → bucket pruning would silently miss its rows, so
+        # fall back to the unpruned scan.
+        vis_runs = ckpt.visible_triples(io).select("run_id").distinct()
+        rows = (
+            vis_runs.join(meta.select("run_id", "num_buckets"), "run_id", "left")
+            .select(
+                "num_buckets",
+                F.pmod(F.xxhash64(F.lit(conv_id)), F.col("num_buckets"))
+                .cast("int")
+                .alias("b"),
+            )
+            .distinct()
+            .collect()
         )
-    # tables written before table_meta existed fall back to a full scan;
-    # within the candidate buckets, conv zone maps prune further — only
-    # blocks whose [conv_min, conv_max] covers this id decode at all
+        if rows and all(r["num_buckets"] is not None for r in rows):
+            buckets = sorted({r["b"] for r in rows})
+    # tables written before table_meta existed (or with meta-less
+    # visible runs) fall back to a full scan; within the candidate
+    # buckets, conv zone maps prune further — only blocks whose
+    # [conv_min, conv_max] covers this id decode at all
     df = decode_table(
         spark, io, buckets=buckets, arrow_native=arrow_native,
         on_error=on_error, conv_range=(conv_id, conv_id), ts_range=ts_range,

@@ -257,6 +257,13 @@ def encode_table(
     run_id = run_id or f"run_{int(time.time() * 1000):x}"
     phys_run_id = f"{run_id}~{uuid.uuid4().hex[:8]}"
     tb_secs = resolve_time_bucket(time_bucket)
+    span = None
+    if num_buckets is None and resume:
+        # geometry reuse: a prior attempt of this logical run already
+        # recorded its num_buckets under identical grouping params —
+        # resume MUST key groups identically anyway, and reusing skips
+        # every planning scan (row estimate + ts span)
+        num_buckets = ckpt.prior_geometry(io, run_id, salt_rows, chunk_rows, tb_secs)
     if num_buckets is None:
         # planning estimate only — never a full scan of a non-parquet
         # source (estimate_input_rows: parquet metadata count, else
@@ -291,8 +298,10 @@ def encode_table(
                     "overhead — widen the window so rows/window >> salt_rows",
                     tb_secs, rows_per_window, salt_rows,
                 )
-            num_buckets = plan_num_buckets(
-                (n_rows + n_windows - 1) // n_windows, salt_rows, parallelism
+            from .partitioning import plan_tb_num_buckets
+
+            num_buckets = plan_tb_num_buckets(
+                n_rows, n_windows, salt_rows, parallelism
             )
         else:
             num_buckets = plan_num_buckets(n_rows, salt_rows, parallelism)
@@ -384,17 +393,38 @@ def encode_table(
         # manifest frame here is one row per group (tiny), so a single
         # part file keeps the multi-file-commit window out of the swap
         manifest = manifest.coalesce(1)
-    io.append(manifest, ckpt.MANIFEST, compression="snappy")
 
     # table metadata: partitioning parameters decoders need for
-    # selective reads (bucket pruning / conv_id point lookup). One row
-    # per run — epochs/resumes may plan different bucket counts, and a
+    # selective reads (bucket pruning / conv_id point lookup) and
+    # resumes reuse as planned geometry (prior_geometry). One row per
+    # attempt — epochs/resumes may plan different bucket counts, and a
     # pruning reader must consider every bucketing that ever wrote.
+    # Appended BEFORE the manifest commit: a crash between the two
+    # appends must leave at worst an orphan meta row for an invisible
+    # run (harmless — it only widens the candidate bucket set), never
+    # a VISIBLE run without its geometry, which would make
+    # decode_conversation's bucket pruning miss its rows forever.
+    from .schema import TABLE_META_SCHEMA
+
+    ts_lo, ts_hi = span if span is not None else (None, None)
     meta_df = spark.createDataFrame(
-        [(phys_run_id, int(num_buckets), int(salt_rows), int(chunk_rows), 1)],
-        "run_id string, num_buckets int, salt_rows int, chunk_rows int, format_version int",
+        [
+            (
+                phys_run_id,
+                int(num_buckets),
+                int(salt_rows),
+                int(chunk_rows),
+                1,
+                tb_secs,
+                ts_lo,
+                ts_hi,
+            )
+        ],
+        TABLE_META_SCHEMA,
     )
     io.append(meta_df, ckpt.TABLE_META, compression="snappy")
+
+    io.append(manifest, ckpt.MANIFEST, compression="snappy")
 
     # per-(group, column) codec metrics from the meta JSON
     meta_schema = "map<string, struct<codec:string, bytes:bigint>>"

@@ -64,7 +64,7 @@ def _plan_rewrite_buckets(spark, io, triples, n_rows, salt_rows, time_bucket):
     encode_table's own auto-planning applies) — derived from the
     selected triples' BLOCK ZONE MAPS, so no data is read. Without it,
     plain rows/salt_rows planning."""
-    from .partitioning import plan_num_buckets, resolve_time_bucket
+    from .partitioning import plan_num_buckets, plan_tb_num_buckets, resolve_time_bucket
 
     par = spark.sparkContext.defaultParallelism
     secs = resolve_time_bucket(time_bucket)
@@ -80,15 +80,20 @@ def _plan_rewrite_buckets(spark, io, triples, n_rows, salt_rows, time_bucket):
     n_windows = 1
     if span["lo"] is not None and span["hi"] is not None:
         n_windows = max(1, int((span["hi"] - span["lo"]).total_seconds() // secs) + 1)
-    return plan_num_buckets((n_rows + n_windows - 1) // n_windows, salt_rows, par), n_windows
+    return plan_tb_num_buckets(n_rows, n_windows, salt_rows, par), n_windows
 
 
-def _decode_triples(spark: SparkSession, io, triples: DataFrame) -> DataFrame:
+def _decode_triples(
+    spark: SparkSession, io, triples: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
     """Decode ONLY the given (bucket, salt, run_id) triples' blocks —
     the maintenance read path. Same vectorized mapInArrow decode as
     decode_table, scoped by a semi-join on the triple list (broadcast
     only when it provably fits — a cold compact at 10^12 turns can
-    select millions of groups, same guard as the resume join)."""
+    select millions of groups, same guard as the resume join).
+    ``cols`` projects a column subset: only those columns' binary
+    blocks are read at all (the convergence guard decodes just the
+    key columns, never the text)."""
     keys = triples.select("bucket", "salt", "run_id")
     if keys.limit(2_000_001).count() <= 2_000_000:
         keys = F.broadcast(keys)
@@ -101,7 +106,7 @@ def _decode_triples(spark: SparkSession, io, triples: DataFrame) -> DataFrame:
 
     from .schema import TRANSCRIPT_SCHEMA
 
-    cols = list(ENCODED_COLUMNS)
+    cols = list(ENCODED_COLUMNS) if cols is None else list(cols)
     out_schema = T.StructType([TRANSCRIPT_SCHEMA[c] for c in cols])
     return blocks.select(*[f"{c}_blk" for c in cols]).mapInArrow(
         _decode_batches_arrow_cols(cols, False), schema=out_schema
@@ -117,6 +122,7 @@ def compact_blocks(
     codec: str | dict = "auto",
     time_bucket=None,
     run_id: str | None = None,
+    max_groups: int | None = None,
 ) -> dict:
     """Rewrite under-filled groups into full-size blocks.
 
@@ -128,6 +134,16 @@ def compact_blocks(
     and their old triples retired in the same commit. Returns
     {"compacted_groups", "rows", "blocks_before", "blocks_after",
     "run_id"}; no-op dict when nothing qualifies.
+
+    ``max_groups`` bounds ONE maintenance window: a cold compact of a
+    10^12-turn table can qualify millions of groups, and an unbounded
+    rewrite stakes them all on a single all-or-nothing commit. With
+    the bound, each call rewrites the first ``max_groups`` qualifying
+    groups (deterministic (bucket, salt, run_id) order) in its own
+    independently crash-safe commit; repeat until
+    ``compacted_groups == 0`` — already-compacted groups fall out of
+    the qualifying set, so iteration converges to the same final state
+    as one-shot.
     """
     if not 0.0 < min_fill <= 1.0:
         raise ValueError(f"min_fill must be in (0, 1], got {min_fill}")
@@ -136,9 +152,12 @@ def compact_blocks(
     small = stats.where(
         (F.col("n_rows") / F.greatest(F.col("n_chunks"), F.lit(1)))
         < F.lit(min_fill * chunk_rows)
-    ).localCheckpoint(eager=True)  # pin the qualifying set: the rewrite
-    # itself appends manifest rows, and a lazy `small` re-evaluated
-    # after the commit would see them
+    )
+    if max_groups is not None:
+        small = small.orderBy("bucket", "salt", "run_id").limit(int(max_groups))
+    small = small.localCheckpoint(eager=True)  # pin the qualifying set:
+    # the rewrite itself appends manifest rows, and a lazy `small`
+    # re-evaluated after the commit would see them
     # NEVER collected: at 10^12 turns the under-filled set can be
     # millions of groups; one manifest-sized aggregate gives the counts
     agg = small.agg(
@@ -155,14 +174,32 @@ def compact_blocks(
     nb, n_windows = _plan_rewrite_buckets(
         spark, io, triples, int(agg["rows"]), salt_rows, time_bucket
     )
-    # CONVERGENCE guard: the group key floor is num_buckets × windows
-    # (plan_num_buckets never goes below 2×parallelism), so a rewrite
-    # cannot produce fewer blocks than that — if the selected groups
-    # already sit at that floor, rewriting would shuffle bytes forever
-    # without improving fill. Report the skip, never loop.
+    # CONVERGENCE guard: a rewrite produces exactly one block per
+    # OCCUPIED (bucket, salt) key plus chunk splits — if that floor
+    # already meets the current block count, rewriting would shuffle
+    # bytes forever without improving fill. The occupied-key count is
+    # exact, not the a-priori nb × n_windows bound (which counts
+    # POTENTIAL keys and wrongly skips small tables where many
+    # same-conversation streaming epochs collapse into few keys): it
+    # re-keys a decode of just conv_id/turn_idx/ts — the text blocks,
+    # ~95% of the bytes, are never read (column-pruned blocks scan).
     import math
 
-    achievable = max(nb * n_windows, math.ceil(int(agg["rows"]) / chunk_rows))
+    from .partitioning import resolve_time_bucket, with_group_keys
+
+    key_cols = ["conv_id", "turn_idx"] + (
+        ["ts"] if resolve_time_bucket(time_bucket) is not None else []
+    )
+    occupied = (
+        with_group_keys(
+            _decode_triples(spark, io, triples, cols=key_cols),
+            nb, salt_rows, time_bucket=time_bucket,
+        )
+        .select("bucket", "salt")
+        .distinct()
+        .count()
+    )
+    achievable = max(occupied, math.ceil(int(agg["rows"]) / chunk_rows))
     if achievable >= int(agg["chunks"]):
         return {"compacted_groups": 0, "rows": 0,
                 "blocks_before": int(agg["chunks"]), "blocks_after": int(agg["chunks"]),
@@ -208,6 +245,7 @@ def retention_sweep(
     salt_rows: int = 65_536,
     codec: str | dict = "auto",
     time_bucket=None,
+    max_groups: int | None = None,
 ) -> dict:
     """Drop rows with ``ts < cutoff`` using zone-map proofs.
 
@@ -225,6 +263,12 @@ def retention_sweep(
 
     Returns {"retired_groups", "rewritten_groups", "rows_kept",
     "run_id"}.
+
+    ``max_groups`` bounds how many STRADDLING groups one call rewrites
+    (deterministic order, independently crash-safe commit per call —
+    same contract as ``compact_blocks``); repeat until
+    ``rewritten_groups == 0``. The retire-only class is never bounded:
+    it is a single manifest append with no data read or rewrite risk.
     """
     recover_vacuum(io)
     blocks = io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA).join(
@@ -273,6 +317,16 @@ def retention_sweep(
         F.sum(((F.col("all_old") == 0) & (F.col("touches_old") == 1)).cast("long")).alias("straddle"),
     ).collect()[0]
     n_old, n_straddle = int(counts["old"] or 0), int(counts["straddle"] or 0)
+    if max_groups is not None and n_straddle > int(max_groups):
+        # pin the bounded window: straddle is referenced three times
+        # (row estimate, decode scope, retire set) and each must see
+        # the identical group list
+        straddle = (
+            straddle.orderBy("bucket", "salt", "run_id")
+            .limit(int(max_groups))
+            .localCheckpoint(eager=True)
+        )
+        n_straddle = int(max_groups)
 
     rows_kept = 0
     rid = None
@@ -364,12 +418,35 @@ def recover_vacuum(io) -> str | None:
     return None
 
 
-def reclaimable_bytes(io) -> int:
+def vacuum_remnants(io) -> bool:
+    """True when a crashed vacuum swap left recovery remnants on disk
+    (``blocks__vacuum`` / ``blocks__old``). Pure inspection — lets
+    read-only surfaces REPORT the state without repairing it (repair
+    renames/deletes directories and races a vacuum running in another
+    process; it belongs to the maintenance entry points)."""
+    import os
+
+    from .tableio import ParquetDirTableIO
+
+    if not isinstance(io, ParquetDirTableIO):
+        return False
+    final = io.path(ckpt.BLOCKS)
+    return os.path.isdir(final + "__vacuum") or os.path.isdir(final + "__old")
+
+
+def reclaimable_bytes(io, repair: bool = True) -> int:
     """Bytes held by block rows no reader can see (retired / orphaned)
     — what vacuum_blocks would free. Manifest-side only for the
     retired portion; orphans need the blocks scan, so this reads the
-    blocks table's small columns (binary columns pruned)."""
-    recover_vacuum(io)
+    blocks table's small columns (binary columns pruned).
+
+    ``repair=False`` skips the crashed-vacuum auto-repair — for
+    read-only callers (the CLI ``report`` command) that must not
+    mutate directories; if a crashed swap actually left the blocks
+    table missing, this returns 0 and ``vacuum_remnants`` tells the
+    caller why."""
+    if repair:
+        recover_vacuum(io)
     if not io.exists(ckpt.BLOCKS):
         return 0
     blocks = io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA).select(

@@ -197,52 +197,140 @@ def ann_topk(
 # and partition the table by ivf_cell to get storage-level pruning).
 
 
+#: driver-side training budget in VECTOR ELEMENTS (sample_n × dim):
+#: 2^23 doubles ≈ 64 MB — above it the Lloyd iterations run
+#: distributed (mapInPandas partial sums) instead of collecting the
+#: sample to the driver
+DEFAULT_DRIVER_TRAIN_BUDGET = 1 << 23
+
+
 def ivf_train_centroids(
     df: DataFrame,
     k: int = 16,
-    sample_n: int = 4096,
+    sample_n: int | None = None,
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    driver_budget: int = DEFAULT_DRIVER_TRAIN_BUDGET,
 ) -> np.ndarray:
     """k-means centroids (L2-normalized → spherical k-means, the right
     quantizer for cosine) from a deterministic bounded sample.
 
-    Sampling is a HASH PREDICATE, not a global sort: rows where
-    ``xxhash64(id) % p == 0`` with ``p = n // sample_n`` — one
-    filter-only scan (the count is parquet-footer-cheap), no
-    TakeOrdered over every partition. The ~sample_n survivors are
-    ordered driver-side by (hash, id) and truncated, so the sample is
-    a pure function of the data — identical on any partitioning or
-    cluster size."""
+    ``sample_n`` defaults to ``max(4096, 64·k)`` — a fixed 4096-row
+    sample under-trains past ~64 cells (≈64 points/cell is the
+    conventional floor), and the 65k-cell quantizer a 100 TB corpus
+    wants needs ~4M sample rows. Sampling is a HASH PREDICATE, not a
+    global sort: rows where ``xxhash64(id) % p == 0`` with
+    ``p = n // sample_n`` — one filter-only scan (the count is
+    parquet-footer-cheap), no TakeOrdered over every partition.
+
+    Two Lloyd paths, chosen by ``sample_n × dim`` vs ``driver_budget``:
+
+    * within budget — collect the survivors, order by (hash, id),
+      truncate to exactly sample_n, iterate in numpy (a pure function
+      of the data: identical on any partitioning or cluster size);
+    * past budget — the sample NEVER collects: each iteration is one
+      ``mapInPandas`` pass emitting per-cell partial (count, Σv) from
+      a batch matmul against broadcast centroids, reduced by a k-row
+      groupBy — the only driver-side state is the k×dim centroid
+      matrix itself. The survivor set is the hash predicate's
+      (deterministic); sample size is then approximate (~sample_n).
+    """
+    if sample_n is None:
+        sample_n = max(4096, 64 * int(k))
     n = df.count()
     p = max(1, n // sample_n)
-    cand = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+    sel = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+    ).where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(p)) == 0)
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    if sample_n * max(1, dim) <= driver_budget:
+        cand = sel.collect()
+        cand.sort(key=lambda r: (r["_h"], r["_id"]))
+        rows = cand[:sample_n]
+        x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        k = min(k, len(x))
+        rng = np.random.default_rng(seed)
+        cent = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(iters):
+            sims = x @ cent.T                      # (n, k)
+            assign = np.argmax(sims, axis=1)
+            for j in range(k):
+                sel_x = x[assign == j]
+                if len(sel_x):
+                    c = sel_x.mean(axis=0)
+                    cent[j] = c / max(np.linalg.norm(c), 1e-12)
+        return cent
+
+    # ---- distributed path: sample stays executor-side
+    sample_df = sel.select("_v").cache()
+    try:
+        # k seed vectors by deterministic (hash, id) order — a TakeOrdered
+        # of k rows, the one bounded collect this path performs
+        seeds = sel.orderBy("_h", "_id").limit(int(k)).select("_v").collect()
+        cent = np.asarray([r["_v"] for r in seeds], dtype=np.float64)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        k = len(cent)
+        for _ in range(iters):
+            cent = _lloyd_step_distributed(sample_df, cent)
+        return cent
+    finally:
+        sample_df.unpersist()
+
+
+def _lloyd_step_distributed(sample_df: DataFrame, cent: np.ndarray) -> np.ndarray:
+    """One distributed Lloyd iteration: per-Arrow-batch argmax matmul
+    against broadcast centroids → per-cell partial (count, Σv) → k-row
+    groupBy reduce → renormalized means. Empty cells keep their old
+    centroid (standard Lloyd convention)."""
+    import pandas as pd
+
+    spark = sample_df.sparkSession
+    k, dim = cent.shape
+    bc = spark.sparkContext.broadcast(cent)
+
+    def partials(it):
+        acc_cnt = np.zeros(k, np.int64)
+        acc_sum = np.zeros((k, dim), np.float64)
+        for pdf in it:
+            v = np.asarray([np.asarray(e, np.float64) for e in pdf["_v"]])
+            if len(v):
+                v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+                a = np.argmax(v @ bc.value.T, axis=1)
+                np.add.at(acc_cnt, a, 1)
+                np.add.at(acc_sum, a, v)
+        cells = np.flatnonzero(acc_cnt)
+        yield pd.DataFrame(
+            {
+                "cell": cells.astype("int32"),
+                "cnt": acc_cnt[cells],
+                "vsum": [acc_sum[c].tolist() for c in cells],
+            }
         )
-        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(p)) == 0)
+
+    parts = sample_df.mapInPandas(partials, "cell int, cnt long, vsum array<double>")
+    rows = (
+        parts.groupBy("cell")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            # element-wise Σ over the partial-sum arrays: dim aggregate
+            # expressions, one k-row shuffle — never row-scale data
+            F.array(*[F.sum(F.col("vsum")[i]) for i in range(dim)]).alias("vsum"),
+        )
         .collect()
     )
-    cand.sort(key=lambda r: (r["_h"], r["_id"]))
-    rows = cand[:sample_n]
-    x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    k = min(k, len(x))
-    rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=k, replace=False)]
-    for _ in range(iters):
-        sims = x @ cent.T                      # (n, k)
-        assign = np.argmax(sims, axis=1)
-        for j in range(k):
-            sel = x[assign == j]
-            if len(sel):
-                c = sel.mean(axis=0)
-                cent[j] = c / max(np.linalg.norm(c), 1e-12)
-    return cent
+    new = cent.copy()
+    for r in rows:
+        c = np.asarray(r["vsum"], dtype=np.float64) / float(r["cnt"])
+        new[int(r["cell"])] = c / max(np.linalg.norm(c), 1e-12)
+    bc.destroy()
+    return new
 
 
 def ivf_assign(
@@ -280,7 +368,7 @@ def ivf_ann_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 2,
-    sample_n: int = 4096,
+    sample_n: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -301,7 +389,7 @@ def ivf_build_index(
     df: DataFrame,
     index_dir: str,
     n_cells: int = 16,
-    sample_n: int = 4096,
+    sample_n: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",

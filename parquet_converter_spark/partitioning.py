@@ -120,6 +120,53 @@ def plan_num_buckets(n_rows: int, salt_rows: int = DEFAULT_SALT_ROWS, parallelis
     return max(2 * parallelism, (n_rows + salt_rows - 1) // salt_rows)
 
 
+def plan_tb_num_buckets(
+    n_rows: int,
+    n_windows: int,
+    salt_rows: int = DEFAULT_SALT_ROWS,
+    parallelism: int = 32,
+) -> int:
+    """Bucket count for a TIME-CLUSTERED encode. Parallel granularity
+    comes from windows × buckets (every (bucket, window) pair is its
+    own group), so the 2×parallelism floor applies to the TOTAL group
+    count — applying it to per-window buckets (the round-4 behavior)
+    multiplied the floor by the window count and shattered every
+    window into ~parallelism× undersized sliver blocks. Per-window
+    buckets otherwise target ≈ salt_rows rows per group, exactly like
+    the plain planner."""
+    n_windows = max(1, n_windows)
+    rows_per_window = max(1, n_rows // n_windows)
+    per_fill = (rows_per_window + salt_rows - 1) // salt_rows
+    per_par = (2 * parallelism + n_windows - 1) // n_windows
+    return max(1, per_fill, per_par)
+
+
+def plan_compact_time_bucket(
+    span_secs: float,
+    n_rows: int,
+    chunk_rows: int = 65_536,
+    min_secs: int = 3_600,
+    slice_secs: float | None = None,
+    max_touch_frac: float = 0.10,
+) -> int:
+    """Window width (seconds) for a WINDOW-PRESERVING compaction of a
+    fine-grained time-clustered table (e.g. hourly streaming epochs).
+
+    Two forces pick the width: blocks should be FULL (rows per window ≈
+    chunk_rows, so widen), yet a time-slice decode's touched fraction is
+    ≈ (slice + 2·W)/span — every extra second of window width is extra
+    false-positive decode on slice queries (so narrow). The planner
+    takes the fill-optimal width, then — when the caller names a target
+    slice width — clamps it so a worst-case-aligned slice touches at
+    most ``max_touch_frac`` of the table. Rounded down to whole hours
+    (aligned windows; hourly source epochs nest cleanly), floored at
+    ``min_secs``."""
+    w = span_secs * chunk_rows / max(1, n_rows)
+    if slice_secs is not None:
+        w = min(w, max(0.0, (max_touch_frac * span_secs - slice_secs) / 2.0))
+    return max(min_secs, int(w // 3_600) * 3_600)
+
+
 def estimate_input_rows(spark, df: DataFrame) -> int:
     """Planning-only row estimate for bucket sizing — must never pay a
     full scan of a non-parquet source (at 100 TB a CSV count() doubles

@@ -83,6 +83,28 @@ MANIFEST_SCHEMA = T.StructType(
     ]
 )
 
+# one row per encode attempt: the partitioning geometry decoders and
+# resumes need. Appended BEFORE the manifest commit (encode_job) so a
+# crash between the two appends leaves at worst an orphan meta row for
+# an invisible run — harmless (it only widens the candidate bucket
+# set) — never a visible run without its geometry, which would make
+# decode_conversation's bucket pruning silently miss rows.
+# time_bucket_secs / ts_lo / ts_hi (nullable, absent on legacy tables)
+# record the planned time-clustering geometry so resumes and epoch
+# replays reuse it instead of re-scanning min/max(ts).
+TABLE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("num_buckets", T.IntegerType(), False),
+        T.StructField("salt_rows", T.IntegerType(), False),
+        T.StructField("chunk_rows", T.IntegerType(), False),
+        T.StructField("format_version", T.IntegerType(), False),
+        T.StructField("time_bucket_secs", T.LongType(), True),
+        T.StructField("ts_lo", T.TimestampType(), True),
+        T.StructField("ts_hi", T.TimestampType(), True),
+    ]
+)
+
 # per (group, column) codec/size metrics
 METRICS_SCHEMA = T.StructType(
     [

@@ -175,31 +175,37 @@ def _read_delimited_with_skip(
 
     from pyspark.sql.window import Window
 
-    lines = spark.read.text(path).select("value", F.input_file_name().alias("_f"))
-    guard = lines.agg(
-        F.count("*").alias("n"), F.countDistinct("_f").alias("n_files")
-    ).collect()[0]
-    if guard["n_files"] > 1:
+    lines = spark.read.text(path)
+    # multi-file guard from PLAN-TIME file resolution (inputFiles reads
+    # the listing, not the data) — no counting pre-pass over the file
+    files = lines.inputFiles()
+    if len(files) > 1:
         raise ValueError(
             f"skip_rows/skip_footer are per-file semantics; {path!r} matched "
-            f"{guard['n_files']} files — point at a single file"
+            f"{len(files)} files — point at a single file"
         )
     w = Window.orderBy("_idx")
+    # footer bound via a full-frame window count in the SAME pass as
+    # the indexed read (the frame is already one partition by contract,
+    # so the global window adds no shuffle) — the old separate count
+    # job scanned the file twice
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     idxed = (
-        lines.drop("_f")
+        lines
         .coalesce(1)  # single partition → monotonic id == line order
         .withColumn("_idx", F.monotonically_increasing_id())
         .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(w_all))
     )
-    total = guard["n"]
     lo = skip_rows + (1 if header else 0)
-    hi = total - skip_footer
     names = column_names
     if header and names is None:
         hdr = idxed.where(F.col("_rn") == skip_rows + 1).collect()
         names = [h.strip() for h in hdr[0]["value"].split(delimiter)] if hdr else []
     parts = F.split(F.col("value"), _re.escape(delimiter))
-    body = idxed.where((F.col("_rn") > lo) & (F.col("_rn") <= hi))
+    body = idxed.where(
+        (F.col("_rn") > lo) & (F.col("_rn") <= F.col("_n") - skip_footer)
+    )
     out = body.select(
         *[parts.getItem(i).alias(n) for i, n in enumerate(names or [])]
     )

@@ -76,9 +76,11 @@ def stream_encode(
         )
         seen["epochs"] += 1
         if compact_every and seen["epochs"] % compact_every == 0:
+            import logging
+
             from ..maintenance import compact_blocks
 
-            compact_blocks(
+            result = compact_blocks(
                 spark, io,
                 chunk_rows=compact_chunk_rows,
                 salt_rows=salt_rows,
@@ -86,6 +88,14 @@ def stream_encode(
                 time_bucket=compact_time_bucket,
                 run_id=f"stream_compact_{epoch_id}",
             )
+            if result.get("skipped"):
+                # surface, never swallow: a convergence-guard skip here
+                # usually means the epoch cadence produces blocks the
+                # rewrite can't improve (fill already at the key floor)
+                logging.getLogger("parquet_converter_spark").info(
+                    "in-line compaction at epoch %s skipped: %s",
+                    epoch_id, result["skipped"],
+                )
 
     return (
         stream.writeStream.foreachBatch(sink)

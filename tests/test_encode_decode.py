@@ -427,3 +427,121 @@ def test_time_bucket_null_ts_reserved_window(spark, tmp_path_factory):
     assert blocks.where(F.col("ts_min").isNotNull()).count() == 0
     result = verify_decode(decode_table(spark, io), df)
     assert result["ok"], result
+
+
+def test_resume_reuses_recorded_geometry_zero_planning_scans(
+    spark, transcripts, tmp_path_factory, monkeypatch
+):
+    """A resume of an auto-planned run must take num_buckets from the
+    prior attempt's table_meta row — both for key alignment and so the
+    resume pays ZERO planning scans (no row estimate, no min/max(ts)
+    span scan). Asserted by making both planning probes raise."""
+    import parquet_converter_spark.encode_job as ej
+    import parquet_converter_spark.partitioning as pt
+
+    out = str(tmp_path_factory.mktemp("geo"))
+    io = ParquetDirTableIO(spark, out)
+    s1 = encode_table(
+        spark, transcripts, io, run_id="geo", salt_rows=512,
+        time_bucket=3600, max_groups=3,        # auto num_buckets: plans once
+    )
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("planning scan ran on resume")
+
+    # driver-side planning probes only — never serialized to executors
+    monkeypatch.setattr(ej, "estimate_input_rows", boom)
+    monkeypatch.setattr(pt, "ts_span_from_footers", boom)
+    s2 = encode_table(
+        spark, transcripts, io, run_id="geo", salt_rows=512, time_bucket=3600,
+    )
+    assert s2["num_buckets"] == s1["num_buckets"]
+    n = transcripts.count()
+    assert s1["rows"] + s2["rows"] == n
+    assert decode_table(spark, io).count() == n
+
+
+def test_table_meta_commits_before_manifest(spark, transcripts, tmp_path_factory):
+    """Geometry must land BEFORE the manifest commit: a crash between
+    the two appends must never yield a VISIBLE run whose bucketing is
+    unrecorded (decode_conversation's pruning would miss its rows
+    forever). An orphan meta row for an uncommitted run is harmless."""
+    order = []
+
+    class RecordingIO(ParquetDirTableIO):
+        def append(self, df, name, compression="uncompressed"):
+            order.append(name)
+            super().append(df, name, compression)
+
+    out = str(tmp_path_factory.mktemp("metaord"))
+    io = RecordingIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="m", salt_rows=512, num_buckets=4)
+    assert order.index(ckpt.TABLE_META) < order.index(ckpt.MANIFEST), order
+
+
+def test_point_lookup_falls_back_when_visible_run_lacks_meta(
+    spark, transcripts, tmp_path_factory
+):
+    """A visible run with no table_meta row (legacy engine crashed
+    between manifest and meta appends) must force the point lookup to
+    the unpruned scan — pruning from the surviving rows' bucketings
+    would silently miss the meta-less run's rows."""
+    from parquet_converter_spark.decode_job import decode_conversation
+    from parquet_converter_spark.schema import TABLE_META_SCHEMA
+
+    out = str(tmp_path_factory.mktemp("metaless"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512, num_buckets=8)
+    conv = transcripts.select("conv_id").first()[0]
+    # swap the real meta row for a phantom run with a DIFFERENT
+    # bucketing: bucketing-trusting code would prune to a wrong bucket
+    meta = (
+        io.read(ckpt.TABLE_META, TABLE_META_SCHEMA)
+        .withColumn("run_id", F.lit("phantom~x"))
+        .withColumn("num_buckets", F.lit(9973))
+    )
+    io.overwrite(meta.localCheckpoint(eager=True), ckpt.TABLE_META)
+
+    expected = transcripts.where(F.col("conv_id") == conv).count()
+    got = decode_conversation(spark, io, conv).count()
+    assert got == expected > 0
+
+
+def test_point_lookup_single_pre_decode_job(
+    spark, transcripts, tmp_path_factory, monkeypatch
+):
+    """decode_conversation computes ALL candidate buckets (one per
+    recorded bucketing) plus the meta-coverage probe in ONE collect —
+    not one tiny Spark job per bucketing."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    from parquet_converter_spark.decode_job import decode_conversation
+
+    out = str(tmp_path_factory.mktemp("onejob"))
+    io = ParquetDirTableIO(spark, out)
+    # two disjoint increments under two different bucketings
+    half = transcripts.where(F.col("turn_idx") % 2 == 0)
+    other = transcripts.where(F.col("turn_idx") % 2 == 1)
+    encode_table(spark, half, io, run_id="a", salt_rows=512, num_buckets=4, resume=False)
+    encode_table(spark, other, io, run_id="b", salt_rows=512, num_buckets=8, resume=False)
+    conv = transcripts.select("conv_id").first()[0]
+
+    calls = []
+    orig = cdf.DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cdf.DataFrame, "collect", counting)
+    df = decode_conversation(spark, io, conv)
+    # exactly 2 pre-decode collects: the format_version check + the ONE
+    # combined candidates/meta-coverage job (the old shape paid
+    # 2 + one per distinct bucketing)
+    assert len(calls) == 2, len(calls)
+    monkeypatch.setattr(cdf.DataFrame, "collect", orig)
+    got = {r["turn_idx"] for r in df.collect()}
+    expected = {
+        r["turn_idx"] for r in transcripts.where(F.col("conv_id") == conv).collect()
+    }
+    assert got == expected

@@ -312,3 +312,144 @@ def test_compact_time_bucketed_converges(spark, transcripts, tmp_path_factory):
     # skip instead of rewriting the same bytes forever
     assert r2["compacted_groups"] == 0 and "skipped" in r2, r2
     assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+
+
+def test_compact_collapses_same_key_epoch_triples(spark, tmp_path_factory):
+    """Three disjoint epochs of the same conversations write three
+    triples per (bucket, salt) key. The a-priori nb×windows floor
+    (≥2×parallelism = 64 here) exceeds the handful of current blocks
+    and would wrongly report 'cannot reduce'; the exact occupied-key
+    guard must let the rewrite collapse the epochs."""
+    rows = [
+        (f"c{c}", i, "user", f"text {c} {i}", None, None)
+        for c in range(4)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("cmpep"))
+    io = ParquetDirTableIO(spark, out)
+    for k in range(3):
+        epoch = df.where(
+            (F.col("turn_idx") >= k * 100) & (F.col("turn_idx") < (k + 1) * 100)
+        )
+        encode_table(spark, epoch, io, run_id=f"e{k}", salt_rows=512,
+                     num_buckets=2, chunk_rows=512, resume=False)
+    before = _blocks_count(io)
+    assert before >= 3  # ≥3 same-key triples exist
+
+    r = compact_blocks(spark, io, min_fill=0.5, chunk_rows=65_536, salt_rows=65_536)
+    assert r.get("skipped") is None, r
+    assert r["compacted_groups"] > 0
+    assert r["blocks_after"] < r["blocks_before"] == before
+    assert verify_decode(decode_table(spark, io), df)["ok"]
+
+
+def test_bounded_compact_two_steps_converge_to_one_shot_state(
+    spark, transcripts, tmp_path_factory
+):
+    """max_groups bounds one maintenance window; iterating windows must
+    converge (compacted_groups → 0) with each step's commit independent,
+    and the final table decodes bit-identical to the source — the same
+    end state an unbounded compact reaches."""
+    out = str(tmp_path_factory.mktemp("cmpw"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=256,
+                 num_buckets=8, chunk_rows=256)
+    before = _blocks_count(io)
+
+    steps = 0
+    while steps < 20:
+        r = compact_blocks(spark, io, min_fill=0.5, chunk_rows=65_536,
+                           salt_rows=65_536, max_groups=3)
+        steps += 1
+        if r["compacted_groups"] == 0:
+            break
+        assert r["compacted_groups"] <= 3
+        # every intermediate state is a committed, readable table
+        assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+    assert steps < 20, "bounded compaction failed to converge"
+    assert _blocks_count(io) < before
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
+
+
+def test_bounded_retention_converges(spark, transcripts, tmp_path_factory):
+    """max_groups-bounded retention sweeps: repeated calls drain the
+    straddle set and the final content equals an unbounded sweep's."""
+    out = str(tmp_path_factory.mktemp("retw"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512,
+                 num_buckets=4, chunk_rows=512, time_bucket=900)
+    stats = ckpt.committed_blocks(io).agg(
+        F.min("ts_min").alias("lo"), F.max("ts_max").alias("hi")
+    ).collect()[0]
+    cutoff = stats["lo"] + (stats["hi"] - stats["lo"]) / 2
+
+    total_rewritten = 0
+    steps = 0
+    while steps < 20:
+        r = retention_sweep(spark, io, cutoff, salt_rows=512, chunk_rows=512,
+                            time_bucket=900, max_groups=2)
+        steps += 1
+        total_rewritten += r["rewritten_groups"]
+        if r["rewritten_groups"] == 0:
+            break
+        assert r["rewritten_groups"] <= 2
+    assert steps < 20, "bounded retention failed to converge"
+    assert total_rewritten > 0
+    expected = transcripts.where((F.col("ts") >= F.lit(cutoff)) | F.col("ts").isNull())
+    assert verify_decode(decode_table(spark, io), expected)["ok"]
+
+
+def test_reclaimable_bytes_no_repair_leaves_remnants(spark, transcripts, tmp_path_factory):
+    """Read-only callers (CLI report) must be able to measure
+    maintenance debt WITHOUT the crashed-vacuum auto-repair side
+    effect; vacuum_remnants surfaces the state instead."""
+    import os
+    import shutil
+
+    from parquet_converter_spark.maintenance import vacuum_remnants
+
+    out = str(tmp_path_factory.mktemp("ro"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=512, num_buckets=4)
+    blocks_dir = io.path(ckpt.BLOCKS)
+    # post-swap remnant (the 'cleanup' recovery case)
+    shutil.copytree(blocks_dir, blocks_dir + "__old")
+
+    assert vacuum_remnants(io)
+    assert reclaimable_bytes(io, repair=False) == 0
+    assert os.path.isdir(blocks_dir + "__old")  # untouched — no repair
+
+    # the maintenance entry point still repairs
+    assert reclaimable_bytes(io) == 0
+    assert not os.path.isdir(blocks_dir + "__old")
+    assert not vacuum_remnants(io)
+
+
+def test_window_preserving_compact_keeps_zone_maps_tight(spark, transcripts, tmp_path_factory):
+    """The r5 pairing: fine-grained time-clustered encode (the hourly
+    ingest shape) then a WINDOW-PRESERVING compaction at a coarser
+    width — blocks grow toward full size while every block still spans
+    at most the compaction window, so time-slice pruning keeps working
+    at the coarser granularity. Bit-identity must survive the swap."""
+    out = str(tmp_path_factory.mktemp("wpc"))
+    io = ParquetDirTableIO(spark, out)
+    # 5-minute windows ≈ the shattered fine-grained shape
+    encode_table(spark, transcripts, io, run_id="r1", salt_rows=4096,
+                 time_bucket=300)
+    before = _blocks_count(io)
+
+    r = compact_blocks(spark, io, min_fill=0.9, chunk_rows=65_536,
+                       salt_rows=4096, time_bucket=900)
+    assert r["compacted_groups"] > 0
+    assert r["blocks_after"] < r["blocks_before"]
+
+    blocks = ckpt.committed_blocks(io)
+    # window preservation: no block's ts span exceeds the compact window
+    too_wide = blocks.where(
+        F.col("ts_min").isNotNull()
+        & ((F.col("ts_max").cast("long") - F.col("ts_min").cast("long")) > 900)
+    ).count()
+    assert too_wide == 0
+    assert _blocks_count(io) < before
+    assert verify_decode(decode_table(spark, io), transcripts)["ok"]
