@@ -412,7 +412,8 @@ def _q_embedding_closest_pairs(spark, sf):
 def _q_lsh_near_dup_pairs(spark, sf):
     """LSH-bucketed near-dup pairs (the scale path; rows-only)."""
     return similarity.lsh_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.35, dim=64, n_planes=6
+        _t(spark, sf, "embeddings"), threshold=0.35, dim=64,
+        planes_per_band=3, bands=12,
     )
 
 
@@ -427,6 +428,24 @@ def _q_embedding_compression(spark, sf):
 
     return embcodec.compression_metrics(
         _t(spark, sf, "embeddings"), "embedding", id_col="vec_id"
+    )
+
+
+def _q_embedding_compression_lossy(spark, sf):
+    """Rows-only: OPT-IN lossy vector codec report (fq16 half-precision,
+    fq8 per-vector int8) over the embeddings table — compression ratio
+    with realized max-abs/relative error, mean cosine fidelity, and the
+    published error-bound check. The engine default stays lossless;
+    this is the quality-for-space sheet a training pipeline reads
+    before flipping a corpus to quantized storage. KA-verified by an
+    independent numpy recomputation (tests/test_known_answers.py)."""
+    from parquet_converter_spark.operators import embcodec
+
+    return embcodec.lossy_compression_metrics(
+        _t(spark, sf, "embeddings"), codecs=("fq16", "fq8")
+    ).select(
+        "codec", "n_vecs", "raw_bytes", "ratio",
+        "max_rel_err", "mean_cos_sim", "bound_ok",
     )
 
 
@@ -522,20 +541,30 @@ def _q_decode_time_slice(spark, sf):
 
 
 def _q_media_stats(spark, sf):
-    """Multimodal metadata aggregation (payload column pruned)."""
+    """Multimodal metadata aggregation (payload column pruned).
+    Reads the materialized media fixture — the same parquet file the
+    DuckDB oracle reads, so this query is hash-checked (r5; previously
+    rows-only because the table lived only in Spark)."""
     from parquet_converter_spark.operators import multimodal
 
-    media = multimodal.synth_media(spark, n=120, seed=42)
+    path = multimodal.ensure_media_fixture(n=120, seed=42)
+    media = spark.read.schema(multimodal.MEDIA_SCHEMA).parquet(path)
     return multimodal.media_stats(media).select(
         "kind", "n", F.round("avg_w", 4).alias("avg_w"), F.round("avg_ms", 4).alias("avg_ms")
     )
 
 
 def _q_media_features(spark, sf):
-    """Binary-payload feature extraction plumbing (deterministic fake)."""
+    """Binary-payload feature extraction over the shared media fixture:
+    the sha256 digests are hash-checked against DuckDB's sha256 over
+    the same parquet payloads (payload alphabet is
+    BLOB→VARCHAR-lossless by construction, multimodal._PAYLOAD_ALPHABET)."""
     from parquet_converter_spark.operators import multimodal
 
-    media = multimodal.synth_media(spark, n=60, seed=42)
+    path = multimodal.ensure_media_fixture(n=120, seed=42)
+    media = spark.read.schema(multimodal.MEDIA_SCHEMA).parquet(path).where(
+        F.col("media_id") < 60
+    )
     return multimodal.extract_features(media).select(
         "media_id", "payload_bytes", "sha256"
     ).orderBy("media_id")
@@ -637,13 +666,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ivf_index_topk": _q_ivf_index_topk,
+        # oracle-checked since r5 via the shared parquet media fixture
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        # rows-only: engine codec metrics (KA-tested)
         "embedding_compression": _q_embedding_compression,
+        "embedding_compression_lossy": _q_embedding_compression_lossy,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from parquet_converter_spark.operators import multimodal
+
+    # materialize the shared media fixture here too, so the oracle can
+    # run before the Spark query regardless of driver ordering
+    media_path = multimodal.ensure_media_fixture(n=120, seed=42)
     stop_en = ", ".join(f"'{w}'" for w in textstats.STOPWORDS_EN)
     hx = sampling._hex_threshold  # identical literals on both engines
     mix_pred = " OR ".join(
@@ -873,4 +910,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
                         ELSE 'es' END AS pred_lang
             FROM s ORDER BY doc_id""",
+        # media queries read the SAME parquet fixture Spark reads; the
+        # payload alphabet excludes the three chars DuckDB's
+        # BLOB->VARCHAR cast escapes, so sha256-over-payload matches
+        # hashlib exactly (multimodal._PAYLOAD_ALPHABET)
+        "media_stats": f"""
+            SELECT kind, COUNT(*) AS n,
+                   round(AVG(width), 4) AS avg_w,
+                   round(AVG(duration_ms), 4) AS avg_ms
+            FROM read_parquet('{media_path}')
+            GROUP BY kind ORDER BY kind""",
+        "media_features": f"""
+            SELECT media_id,
+                   CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+                   sha256(CAST(payload AS VARCHAR)) AS sha256
+            FROM read_parquet('{media_path}')
+            WHERE media_id < 60 ORDER BY media_id""",
     }

@@ -277,6 +277,81 @@ def main() -> int:
         similarity.ivf_query(spark, idx_dir, qvec, k=10, n_probe=4).collect()
         queries["ivf_index_query"] = round(time.time() - t0, 3)
 
+        # ---- approximation-quality metrics (r5): latency without
+        # recall is half a benchmark — every approximate path is scored
+        # against its exact oracle on the same sf tables.
+        exact_ids = {r["vec_id"] for r in similarity.cosine_topk(emb, qvec, k=10).collect()}
+
+        def _recall(ids) -> float:
+            return round(len(exact_ids & set(ids)) / max(1, len(exact_ids)), 3)
+
+        dim = len(qvec)
+        lsh_ids = [r["vec_id"] for r in similarity.ann_topk(emb, qvec, dim, k=10, n_planes=8).collect()]
+        ivf_ids = [
+            r["vec_id"]
+            for r in similarity.ivf_ann_topk(emb, qvec, k=10, n_cells=16, n_probe=4).collect()
+        ]
+        idx_ids = [
+            r["vec_id"] for r in similarity.ivf_query(spark, idx_dir, qvec, k=10, n_probe=4).collect()
+        ]
+        extra["recall_at_10"] = {
+            "lsh_ann_topk": _recall(lsh_ids),
+            "ivf_ann_topk": _recall(ivf_ids),
+            "ivf_index_query": _recall(idx_ids),
+        }
+
+        # pair-recall of the bucketed embedding near-dup path vs the
+        # exact O(n²) closest-pairs oracle at the driver query's
+        # threshold (precision is 1.0 by construction: every emitted
+        # pair carries its exact cosine)
+        thr = 0.35
+        truth_pairs = {
+            (r["a_id"], r["b_id"])
+            for r in similarity.closest_pairs(emb, k=500).collect()
+            if r["cos_sim"] >= thr
+        }
+        lsh_pairs = {
+            (r["a_id"], r["b_id"])
+            for r in similarity.lsh_near_dup_pairs(
+                emb, threshold=thr, dim=dim, planes_per_band=3, bands=12
+            ).collect()
+        }
+        extra["lsh_pair_recall"] = round(
+            len(lsh_pairs & truth_pairs) / max(1, len(truth_pairs)), 3
+        )
+        extra["near_dup_truth_pairs"] = len(truth_pairs)
+
+        # MinHash/LSH text near-dup pair-recall vs brute-force n-gram
+        # Jaccard on a deterministic 400-doc subset (all-pairs truth is
+        # O(n²) — bounded here; the engine path runs the same subset)
+        from parquet_converter_spark.operators import dedup as dedup_ops
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sub = docs.orderBy("doc_id").limit(400).cache()
+        a = sub.select(F.col("doc_id").alias("a_id"))
+        b = sub.select(F.col("doc_id").alias("b_id"))
+        all_pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+        jthr = 0.5
+        truth_mh = {
+            (r["a_id"], r["b_id"])
+            for r in dedup_ops.ngram_jaccard(sub, all_pairs)
+            .where(F.col("jaccard") >= jthr)
+            .collect()
+        }
+        sigs = dedup_ops.minhash_signatures(sub, num_hashes=16)
+        cand = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+        got_mh = {
+            (r["a_id"], r["b_id"])
+            for r in dedup_ops.ngram_jaccard(sub, cand)
+            .where(F.col("jaccard") >= jthr)
+            .collect()
+        }
+        sub.unpersist()
+        extra["minhash_pair_recall"] = round(
+            len(got_mh & truth_mh) / max(1, len(truth_mh)), 3
+        )
+        extra["minhash_truth_pairs"] = len(truth_mh)
+
         total = round(sum(queries.values()), 3)
         print(
             json.dumps(

@@ -46,30 +46,80 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+#: payload alphabet: printable ASCII minus the three characters
+#: DuckDB's BLOB→VARCHAR cast escapes (" ' \) — this keeps the column
+#: BINARY-typed end to end (the real multimodal contract) while making
+#: sha256-over-payload expressible in the DuckDB oracle
+#: (sha256(CAST(payload AS VARCHAR)) == hashlib.sha256(raw bytes))
+_PAYLOAD_ALPHABET = np.array(
+    [c for c in range(32, 127) if c not in (34, 39, 92)], dtype=np.uint8
+)
+
+
+def _media_row(mid: int, seed: int) -> dict:
+    """One deterministic media row — shared by the in-Spark generator
+    and the driver-side parquet fixture writer so both produce
+    byte-identical tables."""
+    rng = np.random.default_rng(seed * 7919 + int(mid))
+    kind = ["image", "audio", "video"][int(mid) % 3]
+    size = int(rng.integers(1_000, 50_000))
+    return {
+        "media_id": int(mid),
+        "kind": kind,
+        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+        "width": int(rng.integers(16, 4096)) if kind != "audio" else None,
+        "height": int(rng.integers(16, 4096)) if kind != "audio" else None,
+        "duration_ms": int(rng.integers(100, 600_000)) if kind != "image" else None,
+        "payload": _PAYLOAD_ALPHABET[
+            rng.integers(0, len(_PAYLOAD_ALPHABET), size)
+        ].tobytes(),
+    }
+
+
 def synth_media(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (binary payloads from a seeded RNG)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for mid in pdf["id"]:
-                rng = np.random.default_rng(seed * 7919 + int(mid))
-                kind = ["image", "audio", "video"][int(mid) % 3]
-                size = int(rng.integers(1_000, 50_000))
-                rows.append(
-                    {
-                        "media_id": int(mid),
-                        "kind": kind,
-                        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                        "width": int(rng.integers(16, 4096)) if kind != "audio" else None,
-                        "height": int(rng.integers(16, 4096)) if kind != "audio" else None,
-                        "duration_ms": int(rng.integers(100, 600_000)) if kind != "image" else None,
-                        "payload": rng.integers(0, 256, size, dtype=np.uint8).tobytes(),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame([_media_row(int(mid), seed) for mid in pdf["id"]])
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def ensure_media_fixture(n: int = 120, seed: int = 42, path: str | None = None) -> str:
+    """Materialize the synthetic media table ONCE as a parquet file
+    both engines read — Spark for the driver queries, DuckDB for the
+    oracle (making ``media_stats``/``media_features`` hash-checkable
+    instead of rows-only). Pure pyarrow (no SparkSession needed, so
+    ``oracle_sql`` can call it too); atomic rename so concurrent
+    callers can't observe a half-written file. Returns the path."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = path or os.path.join(
+        tempfile.gettempdir(), f"pcs_media_fixture_{n}_{seed}.parquet"
+    )
+    if os.path.isfile(path):
+        return path
+    rows = [_media_row(i, seed) for i in range(n)]
+    table = pa.table(
+        {
+            "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+            "kind": pa.array([r["kind"] for r in rows], pa.string()),
+            "mime": pa.array([r["mime"] for r in rows], pa.string()),
+            "width": pa.array([r["width"] for r in rows], pa.int32()),
+            "height": pa.array([r["height"] for r in rows], pa.int32()),
+            "duration_ms": pa.array([r["duration_ms"] for r in rows], pa.int32()),
+            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def decode_image(payload: bytes) -> "np.ndarray":

@@ -99,41 +99,74 @@ def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     dim: int = 64,
-    n_planes: int = 8,
+    planes_per_band: int = 3,
+    bands: int = 12,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     chunk_size: int | None = None,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup at scale: hyperplane-LSH bucket join →
-    exact cosine only within buckets → threshold filter. Approximate
-    recall, exact precision.
+    """Embedding-cosine near-dup at scale: BANDED hyperplane-LSH bucket
+    join → exact cosine only within buckets → threshold filter.
+    Approximate recall, exact precision (every emitted pair carries its
+    exact cosine, so false candidates are filtered, never reported).
+
+    Banding is the OR-of-ANDs recall amplifier (the same construction
+    MinHash-LSH uses): a pair is a candidate when it agrees on ALL
+    ``planes_per_band`` planes of ANY band. A single ``r``-plane
+    signature catches a cos-θ pair with probability ``(1 - θ/π)^r`` —
+    at cos 0.35 and r=6 that is ~5% recall; with B bands it becomes
+    ``1 - (1 - (1-θ/π)^r)^B`` ≈ 96% at r=3, B=12. Cost: B exploded
+    bucket rows per vector (one shuffle, same shape as the MinHash
+    banding) and up to B-fold duplicate candidates, deduped BEFORE the
+    exact-cosine verify.
 
     Skew-guarded: the within-bucket pairing is a
     ``skewjoin.bounded_self_join`` (per-task pair count ≤ chunk_size²),
     so one hot bucket of near-identical embeddings cannot serialize the
     stage. ``max_bucket_size`` optionally skips pairing such buckets —
-    report them via ``skewjoin.oversized_buckets`` on the signed frame."""
+    report them via ``skewjoin.oversized_buckets`` on the banded frame."""
     from .skewjoin import DEFAULT_CHUNK_SIZE, bounded_self_join
 
+    n_planes = planes_per_band * bands
     sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
-    with_sig = df.join(sigs, id_col).select(id_col, vec_col, "lsh_bucket")
-    pairs = bounded_self_join(
-        with_sig,
-        ["lsh_bucket"],
+    mask = (1 << planes_per_band) - 1
+    banded = sigs.select(
         id_col,
-        chunk_size=chunk_size or DEFAULT_CHUNK_SIZE,
-        max_bucket_size=max_bucket_size,
-    )
-    va, vb = F.col(f"a_{vec_col}"), F.col(f"b_{vec_col}")
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
-    return (
-        pairs.select(
-            F.col(f"a_{id_col}").alias("a_id"),
-            F.col(f"b_{id_col}").alias("b_id"),
-            F.round(cos, 6).alias("cos_sim"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("lsh_bucket"), b * planes_per_band
+                        ).bitwiseAND(F.lit(mask)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    cand = (
+        bounded_self_join(
+            banded,
+            ["band", "bucket"],
+            id_col,
+            chunk_size=chunk_size or DEFAULT_CHUNK_SIZE,
+            max_bucket_size=max_bucket_size,
         )
+        .select(
+            F.col(f"a_{id_col}").alias("a_id"), F.col(f"b_{id_col}").alias("b_id")
+        )
+        .distinct()  # a pair matching in k bands must verify ONCE, not k times
+    )
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b_ = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(a, "a_id").join(b_, "b_id")
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
         .orderBy("a_id", "b_id")
     )
@@ -169,10 +202,17 @@ def ann_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multi_probe: int = 1,
 ) -> DataFrame:
-    """LSH-bucketed ANN: score only vectors sharing the query's bucket.
-    Approximate by construction (bucket may miss true neighbors);
-    n_planes trades recall for per-bucket scan size."""
+    """LSH-bucketed ANN: score only vectors whose signature is within
+    hamming distance ``multi_probe`` of the query's (0 = exact-bucket
+    only). Multi-probe is the standard recall amplifier for hyperplane
+    LSH — a true neighbor differs from the query on each plane with
+    probability θ/π, so probing the Σ C(n_planes, i≤m) adjacent
+    buckets recovers most near-misses while still scanning only
+    ~Σ C(n,i)/2^n of the table. The probe set is ONE JVM-side
+    ``bit_count(sig XOR qsig) <= m`` predicate on the signature column
+    — no bucket enumeration, no driver loop."""
     sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
@@ -181,7 +221,10 @@ def ann_topk(
     for i in range(n_planes):
         if float(planes[i] @ qnp) > 0:
             qsig |= 1 << i
-    bucket = df.join(sigs.where(F.col("lsh_bucket") == qsig).select(id_col), id_col)
+    near = sigs.where(
+        F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qsig))) <= int(multi_probe)
+    ).select(id_col)
+    bucket = df.join(near, id_col)
     return cosine_topk(bucket, query_vec, k, vec_col, id_col)
 
 

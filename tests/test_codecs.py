@@ -224,3 +224,95 @@ def test_f32list_special_values_bit_identical():
             aa = np.asarray(a, np.float32)
             bb = np.asarray(b, np.float32)
         assert aa.tobytes() == bb.tobytes()
+
+
+# ------------------------------------------------------------- lossy vectors
+
+
+def test_lossy_codecs_never_auto_selected():
+    """fq16/fq8 are OPT-IN only: absent from ELIGIBLE (so the cost-model
+    selector can never pick them) and auto-encode of a vector column
+    always lands on a lossless codec."""
+    from parquet_converter_spark.codecs.vectors import LOSSY_VEC_CODECS
+
+    assert LOSSY_VEC_CODECS == {"fq16", "fq8"}
+    for dtype, names in ELIGIBLE.items():
+        assert not (set(names) & LOSSY_VEC_CODECS), dtype
+    vecs = pd.Series([rng.standard_normal(8).astype(np.float32).tolist()
+                      for _ in range(64)], dtype=object)
+    _, used = decode_block(encode_block(vecs, "f32list", None))
+    assert used in ("fplain", "ftrans")
+
+
+def test_fq16_roundtrip_within_half_precision_bound():
+    """fq16 decode must equal float32(float16(x)) exactly — the error is
+    precisely the IEEE half rounding, ≤ 2^-11 relative in the fp16
+    normal range. Includes None and empty vectors."""
+    vals = [
+        (10.0 * rng.standard_normal(16)).astype(np.float32).tolist()
+        for _ in range(200)
+    ]
+    vals[5] = None
+    vals[6] = []
+    s = pd.Series(vals, dtype=object)
+    out, used = decode_block(encode_block(s, "f32list", "fq16"))
+    assert used == "fq16"
+    assert s.isna().tolist() == out.isna().tolist()
+    for a, b in zip(s, out):
+        if a is None:
+            continue
+        a32 = np.asarray(a, np.float32)
+        expect = a32.astype(np.float16).astype(np.float32)
+        assert np.array_equal(expect, np.asarray(b, np.float32))
+        if a32.size:
+            err = np.abs(a32.astype(np.float64) - expect.astype(np.float64))
+            assert (err <= np.abs(a32) * 2.0**-11 + 1e-12).all()
+
+
+def test_fq8_roundtrip_within_quantization_step():
+    """fq8 per-vector symmetric int8: element error ≤ amax/254 (half a
+    step), zero vectors decode to exact zeros, scale isolation keeps a
+    huge-magnitude vector from degrading its neighbors."""
+    vals = [
+        (float(10.0 ** (i % 5)) * rng.standard_normal(12)).astype(np.float32).tolist()
+        for i in range(100)
+    ]
+    vals[0] = [0.0, 0.0, 0.0]        # amax == 0 → exact
+    vals[1] = None
+    vals[2] = []
+    s = pd.Series(vals, dtype=object)
+    out, used = decode_block(encode_block(s, "f32list", "fq8"))
+    assert used == "fq8"
+    assert s.isna().tolist() == out.isna().tolist()
+    assert np.asarray(out[0], np.float32).tolist() == [0.0, 0.0, 0.0]
+    for a, b in zip(s, out):
+        if a is None or len(a) == 0:
+            continue
+        a64 = np.asarray(a, np.float32).astype(np.float64)
+        b64 = np.asarray(b, np.float32).astype(np.float64)
+        amax = np.abs(a64).max()
+        # half a quantization step + float32-scale representation slop
+        assert (np.abs(a64 - b64) <= amax / 254.0 * (1 + 1e-5) + 1e-12).all()
+
+
+def test_fq8_nonfinite_vector_poisons_only_itself():
+    """A NaN/inf amax must not corrupt neighboring vectors — scales are
+    per-vector. The clean vector roundtrips within its own bound."""
+    clean = np.asarray([1.0, -2.0, 0.5], np.float32)
+    s = pd.Series([[float("nan"), 1.0], clean.tolist(), [float("inf"), 3.0]],
+                  dtype=object)
+    out, _ = decode_block(encode_block(s, "f32list", "fq8"))
+    got = np.asarray(out[1], np.float64)
+    assert (np.abs(got - clean.astype(np.float64)) <= 2.0 / 254.0 * 1.01).all()
+
+
+def test_fq8_compresses_better_than_lossless():
+    """The point of opting in: ~4x fewer payload bytes than fplain on
+    incompressible float noise (fq16 ~2x)."""
+    vecs = pd.Series([rng.standard_normal(64).astype(np.float32).tolist()
+                      for _ in range(512)], dtype=object)
+    plain = len(encode_block(vecs, "f32list", "fplain"))
+    h16 = len(encode_block(vecs, "f32list", "fq16"))
+    q8 = len(encode_block(vecs, "f32list", "fq8"))
+    assert h16 < plain * 0.60
+    assert q8 < plain * 0.35

@@ -106,7 +106,7 @@ def _np_cos(a, b):
 
 def test_lsh_near_dup_pairs_known_answer(spark):
     df = spark.createDataFrame(_vecs(), "vec_id long, embedding array<float>")
-    got = similarity.lsh_near_dup_pairs(df, threshold=0.9, dim=4, n_planes=6).collect()
+    got = similarity.lsh_near_dup_pairs(df, threshold=0.9, dim=4).collect()
     assert [(r["a_id"], r["b_id"]) for r in got] == [(0, 1)]
     # float32 storage: compare at the rounding grain the op guarantees
     expected = round(_np_cos(*[dict(_vecs())[i] for i in (0, 1)]), 6)
@@ -431,3 +431,179 @@ def test_simhash_near_dup_pairs_exact_mode_hamming_zero(spark):
     got = [(r["a_id"], r["b_id"], r["hamming"])
            for r in dedup.simhash_near_dup_pairs(df, max_hamming=0).collect()]
     assert got == [(1, 2, 0)]
+
+
+def test_ivf_train_distributed_matches_numpy_at_256_cells(spark):
+    """Past the driver budget, Lloyd runs distributed (mapInPandas
+    partial sums). Recompute the SAME algorithm — same hash-ordered
+    seed init, same normalized-mean updates — in plain numpy over the
+    full sample and require matching centroids and assignments, while
+    asserting no collect ever moved more than k rows to the driver."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    k, dim, per = 256, 16, 8
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((k, dim)) * 10.0     # well-separated
+    rows = []
+    for i in range(k * per):
+        v = centers[i % k] + 0.01 * rng.standard_normal(dim)
+        rows.append((i, v.astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # independent numpy recomputation of the distributed recipe:
+    # survivors = all rows (sample_n >= n so p == 1), seeds = first k
+    # by (xxhash64(id, seed), id), then normalized-mean Lloyd
+    h = {
+        r["vec_id"]: r["h"]
+        for r in df.select(
+            "vec_id", F.xxhash64(F.col("vec_id"), F.lit(42)).alias("h")
+        ).collect()
+    }
+    order = sorted(range(k * per), key=lambda i: (h[i], i))
+    x = np.asarray([rows[i][1] for i in range(k * per)], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent_np = x[order[:k]].copy()
+    for _ in range(10):
+        assign = np.argmax(x @ cent_np.T, axis=1)
+        for j in range(k):
+            sel = x[assign == j]
+            if len(sel):
+                c = sel.mean(axis=0)
+                cent_np[j] = c / max(np.linalg.norm(c), 1e-12)
+
+    collected_rows = []
+    orig = cdf.DataFrame.collect
+
+    def counting(self):
+        out = orig(self)
+        collected_rows.append(len(out))
+        return out
+
+    cdf.DataFrame.collect = counting
+    try:
+        cent = similarity.ivf_train_centroids(
+            df, k=k, sample_n=k * per, driver_budget=1,  # force distributed
+        )
+    finally:
+        cdf.DataFrame.collect = orig
+
+    assert max(collected_rows) <= k, collected_rows  # never the sample
+    assert cent.shape == (k, dim)
+    assert np.allclose(cent, cent_np, atol=1e-8)
+    # and the quantizer behaves identically
+    a_engine = np.argmax(x @ cent.T, axis=1)
+    a_numpy = np.argmax(x @ cent_np.T, axis=1)
+    assert (a_engine == a_numpy).all()
+
+
+def test_ivf_auto_sample_scales_with_cells(spark):
+    """sample_n=None must scale the training sample with the cell count
+    (>= 64 points/cell) instead of under-training large quantizers on a
+    fixed 4096 rows."""
+    rng = np.random.default_rng(12)
+    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # k=128 -> auto sample 8192 > n: every row survives the hash filter
+    cent = similarity.ivf_train_centroids(df, k=128)
+    assert len(cent) == 128  # not clipped by an undersized fixed sample
+
+
+def test_ann_recall_floors_on_seeded_corpus(spark):
+    """Recall@10 floors for the approximate paths vs the exact oracle —
+    the quality contract the bench reports as recall fields."""
+    rng = np.random.default_rng(13)
+    k_cells, dim = 16, 32
+    centers = rng.standard_normal((k_cells, dim)) * 4.0
+    rows = []
+    for i in range(800):
+        v = centers[i % k_cells] + 0.3 * rng.standard_normal(dim)
+        rows.append((i, v.astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    q = (centers[3] + 0.1 * rng.standard_normal(dim)).tolist()
+
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()}
+    ivf4 = {
+        r["vec_id"]
+        for r in similarity.ivf_ann_topk(
+            df, q, k=10, n_cells=k_cells, n_probe=4, sample_n=800
+        ).collect()
+    }
+    assert len(exact & ivf4) / 10 >= 0.9, sorted(exact & ivf4)
+    # probe-all degenerates to exact: recall exactly 1
+    ivf_all = {
+        r["vec_id"]
+        for r in similarity.ivf_ann_topk(
+            df, q, k=10, n_cells=k_cells, n_probe=k_cells, sample_n=800
+        ).collect()
+    }
+    assert ivf_all == exact
+    df.unpersist()
+
+
+def test_lossy_compression_metrics_known_answer(spark):
+    """The lossy quality sheet recomputed independently in numpy from
+    the codec definitions alone: fq16 decode == f32(f16(x)), fq8 decode
+    == round(clip(x·127/amax))·amax/127 with a float32 per-vector
+    scale. Error/fidelity fields must match exactly at the op's
+    rounding grain; both published bounds must hold; the ratio floors
+    are the reason the codec exists."""
+    from parquet_converter_spark.operators import embcodec
+
+    rng = np.random.default_rng(21)
+    vals = [(3.0 * rng.standard_normal(24)).astype(np.float32).tolist()
+            for _ in range(300)]
+    vals[7] = None
+    vals[8] = []
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "vec_id long, embedding array<float>"
+    )
+    rows = {
+        r["codec"]: r
+        for r in embcodec.lossy_compression_metrics(df, codecs=("fq16", "fq8")).collect()
+    }
+    assert set(rows) == {"fq16", "fq8"}
+
+    arrs = [np.asarray(v, np.float32) for v in vals if v is not None]
+    flat = np.concatenate([a for a in arrs if a.size]).astype(np.float64)
+    raw_bytes = int(flat.size * 4)
+
+    def scores(decoded):
+        errs, rels, coss = [], [], []
+        for a, b in zip(arrs, decoded):
+            a64, b64 = a.astype(np.float64), b.astype(np.float64)
+            if a64.size == 0:
+                coss.append(1.0)
+                continue
+            err = np.abs(a64 - b64)
+            amax = np.abs(a64).max()
+            errs.append(err.max())
+            rels.append(err.max() / amax if amax > 0 else 0.0)
+            na, nb = np.linalg.norm(a64), np.linalg.norm(b64)
+            coss.append(float(a64 @ b64 / (na * nb)) if na > 0 and nb > 0 else 1.0)
+        coss.append(1.0)  # the null vector counts at cosine 1
+        return max(errs), max(rels), float(np.mean(coss))
+
+    # fq16 oracle decode
+    d16 = [a.astype(np.float16).astype(np.float32) for a in arrs]
+    # fq8 oracle decode (float32 scale, like the codec stores)
+    d8 = []
+    for a in arrs:
+        amax = np.abs(a.astype(np.float64)).max() if a.size else 0.0
+        scale = np.float32(amax / 127.0)
+        if scale > 0:
+            q = np.clip(np.rint(a.astype(np.float64) / np.float64(scale)), -127, 127)
+            d8.append((q.astype(np.float32) * scale).astype(np.float32))
+        else:
+            d8.append(np.zeros_like(a))
+
+    for codec, dec in (("fq16", d16), ("fq8", d8)):
+        r = rows[codec]
+        e_abs, e_rel, e_cos = scores(dec)
+        assert r["n_vecs"] == 300
+        assert r["raw_bytes"] == raw_bytes
+        assert r["bound_ok"] is True
+        assert abs(r["max_rel_err"] - round(e_rel, 8)) <= 1e-8, codec
+        assert abs(r["mean_cos_sim"] - e_cos) <= 2e-6, codec
+    assert rows["fq16"]["ratio"] > 1.5
+    assert rows["fq8"]["ratio"] > 2.5
+    assert rows["fq8"]["max_rel_err"] > rows["fq16"]["max_rel_err"]

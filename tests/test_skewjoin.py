@@ -122,7 +122,7 @@ def test_lsh_near_dup_pairs_unchanged_by_chunking(spark):
         for i in range(25)
     ] + [(100 + i, rng.standard_normal(16).astype("float32").tolist()) for i in range(10)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    kw = dict(threshold=0.9, dim=16, n_planes=4)
+    kw = dict(threshold=0.9, dim=16, planes_per_band=4, bands=2)
     big = {
         (r["a_id"], r["b_id"])
         for r in similarity.lsh_near_dup_pairs(df, chunk_size=4096, **kw).collect()
