@@ -433,16 +433,18 @@ def _q_embedding_compression(spark, sf):
 
 def _q_embedding_compression_lossy(spark, sf):
     """Rows-only: OPT-IN lossy vector codec report (fq16 half-precision,
-    fq8 per-vector int8) over the embeddings table — compression ratio
-    with realized max-abs/relative error, mean cosine fidelity, and the
-    published error-bound check. The engine default stays lossless;
-    this is the quality-for-space sheet a training pipeline reads
-    before flipping a corpus to quantized storage. KA-verified by an
-    independent numpy recomputation (tests/test_known_answers.py)."""
+    fq8 per-vector int8, fpq per-block product quantization) over the
+    embeddings table — compression ratio with realized
+    max-abs/relative error, mean cosine fidelity, and the published
+    error-bound check (null for fpq: PQ has no closed-form bound — the
+    realized fields ARE its quality report). The engine default stays
+    lossless; this is the quality-for-space sheet a training pipeline
+    reads before flipping a corpus to quantized storage. KA-verified by
+    an independent numpy recomputation (tests/test_known_answers.py)."""
     from parquet_converter_spark.operators import embcodec
 
     return embcodec.lossy_compression_metrics(
-        _t(spark, sf, "embeddings"), codecs=("fq16", "fq8")
+        _t(spark, sf, "embeddings"), codecs=("fq16", "fq8", "fpq")
     ).select(
         "codec", "n_vecs", "raw_bytes", "ratio",
         "max_rel_err", "mean_cos_sim", "bound_ok",

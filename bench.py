@@ -165,9 +165,13 @@ def main() -> int:
         # compaction below repairs fill at a planner-chosen coarser
         # window that keeps the touched fraction ≈ the slice fraction.
         def _touched(blocks_df):
+            # mirrors decode_time_slice's block predicate exactly:
+            # zone-map overlap, null stats kept, MINUS blocks proven
+            # all-null-ts (the sentinel window — never matches a slice)
             return blocks_df.where(
                 (F.col("ts_min").isNull() | (F.col("ts_min") <= F.lit(w_hi)))
                 & (F.col("ts_max").isNull() | (F.col("ts_max") >= F.lit(w_lo)))
+                & ~F.col("ts_nulls").eqNullSafe(F.col("n_rows"))
             ).count()
 
         tb_dir = os.path.join(tmp, "enc_tb")
@@ -280,25 +284,66 @@ def main() -> int:
         # ---- approximation-quality metrics (r5): latency without
         # recall is half a benchmark — every approximate path is scored
         # against its exact oracle on the same sf tables.
-        exact_ids = {r["vec_id"] for r in similarity.cosine_topk(emb, qvec, k=10).collect()}
-
-        def _recall(ids) -> float:
-            return round(len(exact_ids & set(ids)) / max(1, len(exact_ids)), 3)
-
+        # recall CURVES (mean over 3 query vectors), not single points:
+        # the knob (multi_probe / n_probe) must visibly buy recall for
+        # scan fraction, and probing everything must converge to exact.
+        # LSH expected scan fraction at n_planes=8: Σ C(8,0..m)/256 =
+        # 3.5% / 14.5% / 36% for m=1/2/3.
         dim = len(qvec)
-        lsh_ids = [r["vec_id"] for r in similarity.ann_topk(emb, qvec, dim, k=10, n_planes=8).collect()]
-        ivf_ids = [
-            r["vec_id"]
-            for r in similarity.ivf_ann_topk(emb, qvec, k=10, n_cells=16, n_probe=4).collect()
-        ]
-        idx_ids = [
-            r["vec_id"] for r in similarity.ivf_query(spark, idx_dir, qvec, k=10, n_probe=4).collect()
-        ]
-        extra["recall_at_10"] = {
-            "lsh_ann_topk": _recall(lsh_ids),
-            "ivf_ann_topk": _recall(ivf_ids),
-            "ivf_index_query": _recall(idx_ids),
+        qids = [0, 101, 202]
+        qvecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.where(F.col("vec_id").isin(qids)).collect()
         }
+        exact_ids = {
+            i: {r["vec_id"] for r in similarity.cosine_topk(emb, v, k=10).collect()}
+            for i, v in qvecs.items()
+        }
+
+        def _mean_recall(fn) -> float:
+            vals = [
+                len(exact_ids[i] & {r["vec_id"] for r in fn(v).collect()}) / 10
+                for i, v in qvecs.items()
+            ]
+            return round(sum(vals) / len(vals), 3)
+
+        extra["recall_at_10"] = {
+            "lsh_multi_probe": {
+                str(m): _mean_recall(
+                    lambda v, m=m: similarity.ann_topk(
+                        emb, v, dim, k=10, n_planes=8, multi_probe=m
+                    )
+                )
+                for m in (1, 2, 3)
+            },
+            # n_probe=16 probes every cell — must converge to exact
+            # (recall 1.0): the curve's sanity endpoint
+            "ivf_index_n_probe": {
+                str(p): _mean_recall(
+                    lambda v, p=p: similarity.ivf_query(spark, idx_dir, v, k=10, n_probe=p)
+                )
+                for p in (2, 4, 8, 16)
+            },
+            "ivf_ann_topk_n_probe_4": _mean_recall(
+                lambda v: similarity.ivf_ann_topk(emb, v, k=10, n_cells=16, n_probe=4)
+            ),
+        }
+
+        # quality cost of quantized STORAGE: exact cosine search over
+        # the fq8/fpq roundtripped embeddings vs float32 truth — the
+        # number a pipeline owner reads next to the compression ratio
+        # before flipping a corpus to a lossy codec
+        from parquet_converter_spark.operators import embcodec
+
+        qstore = {}
+        for codec in ("fq8", "fpq"):
+            qdf = embcodec.quantize_roundtrip(emb, codec).cache()
+            qdf.count()
+            qstore[codec] = _mean_recall(
+                lambda v, q=qdf: similarity.cosine_topk(q, v, k=10)
+            )
+            qdf.unpersist()
+        extra["recall_at_10"]["quantized_storage_exact"] = qstore
 
         # pair-recall of the bucketed embedding near-dup path vs the
         # exact O(n²) closest-pairs oracle at the driver query's
@@ -322,12 +367,29 @@ def main() -> int:
         extra["near_dup_truth_pairs"] = len(truth_pairs)
 
         # MinHash/LSH text near-dup pair-recall vs brute-force n-gram
-        # Jaccard on a deterministic 400-doc subset (all-pairs truth is
-        # O(n²) — bounded here; the engine path runs the same subset)
+        # Jaccard on a deterministic 400-doc subset. The raw documents
+        # table has no pairs above the threshold in a 400-doc sample
+        # (truth set would be empty → recall undefined), so SEED known
+        # positives: 150 docs get a deterministic ~5% token-dropout
+        # near-copy (xxhash64(word, idx, doc_id) keeps it seedless and
+        # engine-reproducible), giving shingle-Jaccard ≈ 0.7-0.8 pairs
+        # the truth join must find and the MinHash path must recover.
         from parquet_converter_spark.operators import dedup as dedup_ops
 
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        sub = docs.orderBy("doc_id").limit(400).cache()
+        base = docs.orderBy("doc_id").limit(250).select("doc_id", "text")
+        mutated = base.limit(150).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda w, i: F.pmod(F.xxhash64(w, i, F.col("doc_id")), F.lit(20))
+                    < F.lit(19),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        sub = base.unionByName(mutated).cache()
         a = sub.select(F.col("doc_id").alias("a_id"))
         b = sub.select(F.col("doc_id").alias("b_id"))
         all_pairs = a.join(b, F.col("a_id") < F.col("b_id"))
@@ -338,8 +400,9 @@ def main() -> int:
             .where(F.col("jaccard") >= jthr)
             .collect()
         }
-        sigs = dedup_ops.minhash_signatures(sub, num_hashes=16)
-        cand = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+        # 8 bands × 4 rows: detect prob 1-(1-J^4)^8 ≈ 0.95 at J=0.75
+        sigs = dedup_ops.minhash_signatures(sub, num_hashes=32)
+        cand = dedup_ops.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
         got_mh = {
             (r["a_id"], r["b_id"])
             for r in dedup_ops.ngram_jaccard(sub, cand)

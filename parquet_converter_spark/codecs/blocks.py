@@ -59,7 +59,7 @@ CODEC_IDS = {
     name: i
     for i, name in enumerate(
         ["plain", "dict", "rle", "forbp", "delta", "fsst", "wdict", "dtrans",
-         "fplain", "ftrans", "fq16", "fq8"]  # append-only: ids are on disk
+         "fplain", "ftrans", "fq16", "fq8", "fpq"]  # append-only: ids are on disk
     )
 }
 

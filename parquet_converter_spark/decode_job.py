@@ -55,6 +55,7 @@ def decode_table(
     on_error: str = "raise",
     ts_range: tuple | None = None,
     conv_range: tuple | None = None,
+    skip_all_null_ts_blocks: bool = False,
 ) -> DataFrame:
     """Read committed blocks and reconstruct the transcript DataFrame.
 
@@ -70,7 +71,12 @@ def decode_table(
     zone maps — are kept conservatively). This is BLOCK skipping, not
     a row filter: rows outside the range within an overlapping block
     still decode; use ``decode_time_slice`` for the exact-slice
-    composition. ``conv_range=(lo, hi)`` is the same block-skipping
+    composition. ``skip_all_null_ts_blocks=True`` additionally drops
+    blocks whose ts_nulls stat proves every row's ts is null — ONLY
+    sound under a downstream exact ts filter (null ts never matches a
+    range predicate); plain block-skip decode keeps them so callers
+    relying on the conservative superset (retention proofs, CLI
+    --ts-from without exact filtering) still see null-ts rows. ``conv_range=(lo, hi)`` is the same block-skipping
     test on the conv_id zone maps (sorted groups make them tight);
     ``decode_conversation`` uses it as a point interval.
     ``on_error='skip'`` is the decode analog of encode's per-group
@@ -98,10 +104,20 @@ def decode_table(
         # interval overlap; null stats (legacy/all-null blocks) pass.
         # ts_min/ts_max are plain parquet columns, so this predicate
         # also drives parquet row-group pruning on the blocks scan.
-        blocks = blocks.where(
-            (F.col("ts_min").isNull() | (F.col("ts_min") <= F.lit(hi)))
-            & (F.col("ts_max").isNull() | (F.col("ts_max") >= F.lit(lo)))
+        overlap = (F.col("ts_min").isNull() | (F.col("ts_min") <= F.lit(hi))) & (
+            F.col("ts_max").isNull() | (F.col("ts_max") >= F.lit(lo))
         )
+        if skip_all_null_ts_blocks:
+            # ts_nulls == n_rows PROVES the block holds no row a ts
+            # predicate can match — sound only when the caller applies
+            # an exact ts filter downstream (decode_time_slice), since
+            # SQL range predicates exclude null ts. eqNullSafe: a null
+            # ts_nulls stat (legacy block) proves nothing → kept. On a
+            # time-clustered table this prunes the null-ts sentinel
+            # window's blocks, which would otherwise be touched by
+            # EVERY slice query forever.
+            overlap &= ~F.col("ts_nulls").eqNullSafe(F.col("n_rows"))
+        blocks = blocks.where(overlap)
     if conv_range is not None:
         clo, chi = conv_range
         # conv zone maps come free from the group sort; same
@@ -229,6 +245,9 @@ def decode_time_slice(
     df = decode_table(
         spark, io, columns=cols, arrow_native=arrow_native,
         on_error=on_error, ts_range=(lo, hi),
+        # the exact row filter below excludes null ts, so blocks proven
+        # all-null by their ts_nulls stat are skipped, not decoded
+        skip_all_null_ts_blocks=True,
     )
     df = df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
     if columns is not None and "ts" not in columns:

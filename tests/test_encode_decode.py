@@ -545,3 +545,44 @@ def test_point_lookup_single_pre_decode_job(
         r["turn_idx"] for r in transcripts.where(F.col("conv_id") == conv).collect()
     }
     assert got == expected
+
+
+def test_time_slice_skips_provably_all_null_ts_blocks(spark, transcripts, tmp_path_factory):
+    """On a time-clustered table, null-ts rows land in a sentinel
+    window whose blocks overlap NO slice — yet null zone-map stats are
+    'conservative keep', so without the ts_nulls proof every slice
+    query would decode them forever. decode_time_slice must (a) still
+    return exactly full-decode + filter, (b) skip blocks proven
+    all-null by ts_nulls == n_rows, while (c) plain block-skip decode
+    keeps them (retention and --ts-from CLI superset semantics)."""
+    from parquet_converter_spark.decode_job import decode_time_slice
+
+    src = transcripts.withColumn(
+        "ts", F.when(F.col("turn_idx") % 11 == 0, None).otherwise(F.col("ts"))
+    )
+    out = str(tmp_path_factory.mktemp("nullslice"))
+    io = ParquetDirTableIO(spark, out)
+    encode_table(spark, src, io, run_id="r1", salt_rows=256, num_buckets=2,
+                 chunk_rows=256, time_bucket=86_400)
+    blocks = ckpt.committed_blocks(io)
+    all_null = blocks.where(F.col("ts_nulls") == F.col("n_rows"))
+    assert all_null.count() > 0  # the sentinel window exists
+    stats = blocks.agg(F.min("ts_min").alias("lo"), F.max("ts_max").alias("hi")).collect()[0]
+    span = stats["hi"] - stats["lo"]
+    lo, hi = stats["lo"] + span * 0.4, stats["lo"] + span * 0.45
+
+    got = decode_time_slice(spark, io, lo, hi).orderBy("conv_id", "turn_idx")
+    want = (
+        decode_table(spark, io)
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .orderBy("conv_id", "turn_idx")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    kept = decode_table(spark, io, ts_range=(lo, hi))
+    pruned = decode_table(spark, io, ts_range=(lo, hi), skip_all_null_ts_blocks=True)
+    n_null_rows = int(all_null.agg(F.sum("n_rows")).collect()[0][0])
+    # superset decode carries every null-ts row; the proof-based skip
+    # drops exactly the all-null blocks and nothing else
+    assert kept.where(F.col("ts").isNull()).count() >= n_null_rows
+    assert kept.count() - pruned.count() == n_null_rows

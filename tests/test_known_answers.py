@@ -550,18 +550,30 @@ def test_lossy_compression_metrics_known_answer(spark):
     from parquet_converter_spark.operators import embcodec
 
     rng = np.random.default_rng(21)
+    # 2000 vectors so fpq's per-block codebook (8*256*3*4 B) amortizes
+    # into a real ratio; fq16/fq8 recomputes stay exact at any n
     vals = [(3.0 * rng.standard_normal(24)).astype(np.float32).tolist()
-            for _ in range(300)]
+            for _ in range(2000)]
     vals[7] = None
     vals[8] = []
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vals)], "vec_id long, embedding array<float>"
-    )
+    ).coalesce(1)  # ONE batch: the per-block fpq codebook is paid once
     rows = {
         r["codec"]: r
-        for r in embcodec.lossy_compression_metrics(df, codecs=("fq16", "fq8")).collect()
+        for r in embcodec.lossy_compression_metrics(
+            df, codecs=("fq16", "fq8", "fpq")
+        ).collect()
     }
-    assert set(rows) == {"fq16", "fq8"}
+    assert set(rows) == {"fq16", "fq8", "fpq"}
+
+    # fpq has no closed-form bound (bound_ok null) — its quality gate
+    # is the realized fidelity on this clustered corpus
+    fpq = rows["fpq"]
+    assert fpq["bound_ok"] is None
+    assert fpq["n_vecs"] == 2000
+    assert fpq["ratio"] > 4.0  # m=8 codes + per-block codebook, post-zstd
+    assert fpq["mean_cos_sim"] > 0.97
 
     arrs = [np.asarray(v, np.float32) for v in vals if v is not None]
     flat = np.concatenate([a for a in arrs if a.size]).astype(np.float64)
@@ -599,7 +611,7 @@ def test_lossy_compression_metrics_known_answer(spark):
     for codec, dec in (("fq16", d16), ("fq8", d8)):
         r = rows[codec]
         e_abs, e_rel, e_cos = scores(dec)
-        assert r["n_vecs"] == 300
+        assert r["n_vecs"] == 2000
         assert r["raw_bytes"] == raw_bytes
         assert r["bound_ok"] is True
         assert abs(r["max_rel_err"] - round(e_rel, 8)) <= 1e-8, codec
@@ -607,3 +619,37 @@ def test_lossy_compression_metrics_known_answer(spark):
     assert rows["fq16"]["ratio"] > 1.5
     assert rows["fq8"]["ratio"] > 2.5
     assert rows["fq8"]["max_rel_err"] > rows["fq16"]["max_rel_err"]
+
+
+def test_quantize_roundtrip_matches_codec_formula(spark):
+    """quantize_roundtrip(fq8) must hand downstream ops EXACTLY the
+    values the codec stores: q = round(clip(x·127/amax))·float32(amax/127)
+    per vector — recomputed here straight from the formula. Schema and
+    non-vector columns pass through untouched."""
+    from parquet_converter_spark.operators import embcodec
+
+    rng = np.random.default_rng(31)
+    vals = [(5.0 * rng.standard_normal(16)).astype(np.float32).tolist()
+            for _ in range(200)]
+    vals[9] = None
+    df = spark.createDataFrame(
+        [(i, f"tag{i}", v) for i, v in enumerate(vals)],
+        "vec_id long, tag string, embedding array<float>",
+    )
+    out = embcodec.quantize_roundtrip(df, "fq8")
+    assert out.schema == df.schema
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 200
+    for i, v in enumerate(vals):
+        assert got[i]["tag"] == f"tag{i}"
+        if v is None:
+            assert got[i]["embedding"] is None
+            continue
+        a = np.asarray(v, np.float32)
+        scale = np.float32(np.abs(a.astype(np.float64)).max() / 127.0)
+        if scale > 0:
+            q = np.clip(np.rint(a.astype(np.float64) / np.float64(scale)), -127, 127)
+            expect = (q.astype(np.float32) * scale).astype(np.float32)
+        else:
+            expect = np.zeros_like(a)
+        assert np.array_equal(np.asarray(got[i]["embedding"], np.float32), expect), i
