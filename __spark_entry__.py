@@ -617,6 +617,31 @@ def _q_ivf_index_topk(spark, sf):
     return similarity.ivf_query(spark, idx, [float(x) for x in qvec], k=10, n_probe=4)
 
 
+def _q_ivf_sq8_index_topk(spark, sf):
+    """Rows-only: IVF-SQ8 — the index stored int8-quantized
+    (store_codec='fq8', ~4× smaller files), dequantized transparently
+    after the cell partition prune. Same content-fingerprint caching as
+    the float32 index. Known-answer: a probe-all query equals exact
+    search over fq8-roundtripped vectors (tests/test_known_answers.py
+    ::test_ivf_sq8_index_matches_quantized_exact_and_shrinks)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    src = os.path.join(os.path.abspath(sf), "embeddings.parquet")
+    sig = hashlib.md5(("sq8:" + src).encode())
+    for f in sorted(glob.glob(os.path.join(src, "**", "*"), recursive=True) or [src]):
+        st = os.stat(f)
+        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    idx = os.path.join(tempfile.gettempdir(), f"pcs_ivf_sq8_{sig.hexdigest()[:12]}")
+    if not os.path.isdir(os.path.join(idx, "index_meta")):
+        similarity.ivf_build_index(spark, emb, idx, n_cells=16, store_codec="fq8")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_query(spark, idx, [float(x) for x in qvec], k=10, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.4/§2.5 profiling (A1–A10, L1–L5)
@@ -668,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ivf_index_topk": _q_ivf_index_topk,
+        "ivf_sq8_index_topk": _q_ivf_sq8_index_topk,
         # oracle-checked since r5 via the shared parquet media fixture
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,

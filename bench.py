@@ -281,6 +281,28 @@ def main() -> int:
         similarity.ivf_query(spark, idx_dir, qvec, k=10, n_probe=4).collect()
         queries["ivf_index_query"] = round(time.time() - t0, 3)
 
+        # IVF-SQ8: int8-stored index (Faiss IVF-SQ8 layout) — report
+        # the size win and the per-query cost with in-flight dequant
+        sq8_dir = os.path.join(tmp, "ivf_idx_sq8")
+        t0 = time.time()
+        similarity.ivf_build_index(spark, emb, sq8_dir, n_cells=16, store_codec="fq8")
+        queries["ivf_build_index_sq8"] = round(time.time() - t0, 3)
+
+        def _dir_bytes(d):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(d)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        extra["ivf_index_bytes"] = _dir_bytes(os.path.join(idx_dir, "vectors"))
+        extra["ivf_sq8_index_bytes"] = _dir_bytes(os.path.join(sq8_dir, "vectors"))
+        similarity.ivf_query(spark, sq8_dir, qvec, k=10, n_probe=4).collect()  # warm
+        t0 = time.time()
+        similarity.ivf_query(spark, sq8_dir, qvec, k=10, n_probe=4).collect()
+        queries["ivf_sq8_index_query"] = round(time.time() - t0, 3)
+
         # ---- approximation-quality metrics (r5): latency without
         # recall is half a benchmark — every approximate path is scored
         # against its exact oracle on the same sf tables.
@@ -326,6 +348,11 @@ def main() -> int:
             },
             "ivf_ann_topk_n_probe_4": _mean_recall(
                 lambda v: similarity.ivf_ann_topk(emb, v, k=10, n_cells=16, n_probe=4)
+            ),
+            # must track ivf_index_n_probe at the same probe count:
+            # quantized STORAGE costs nothing extra on this corpus
+            "ivf_sq8_index_n_probe_4": _mean_recall(
+                lambda v: similarity.ivf_query(spark, sq8_dir, v, k=10, n_probe=4)
             ),
         }
 

