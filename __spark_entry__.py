@@ -322,6 +322,19 @@ def _q_embedding_norms(spark, sf):
     return similarity.embedding_norms(_t(spark, sf, "embeddings"), ordered=True)
 
 
+def _q_ann_topk_batch(spark, sf):
+    """Batched exact cosine top-k: 8 query vectors scored in ONE table
+    pass (broadcast query matrix, per-Arrow-batch matmul, map-side
+    partial top-k so the shuffle carries ≤ Q·k rows per batch). Oracle:
+    the same cross-join + per-query window in DuckDB. Tie semantics
+    identical to the single-query path."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.cosine_topk_batch(emb, queries, k=10)
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible: engine codecs, hash-seeded LSH)
 
@@ -674,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_counts": _q_stratified_sample_counts,
         "hash_split_counts": _q_hash_split_counts,
         "ann_topk_cosine": _q_ann_topk_cosine,
+        "ann_topk_batch": _q_ann_topk_batch,
         "embedding_norms": _q_embedding_norms,
         "event_run_counts": _q_event_run_counts,
         "topk_events_per_user": _q_topk_events_per_user,
@@ -877,6 +891,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM z GROUP BY vec_id)
             SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim
             FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+        "ann_topk_batch": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            z AS (SELECT q.query_id, e.vec_id,
+                         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                         CAST(unnest(q.qe) AS DOUBLE) AS y
+                  FROM embeddings e CROSS JOIN q),
+            s AS (SELECT query_id, vec_id, SUM(x * y) AS dot,
+                         sqrt(SUM(x * x)) AS na, sqrt(SUM(y * y)) AS nb
+                  FROM z GROUP BY query_id, vec_id),
+            r AS (SELECT query_id, vec_id,
+                         round(dot / (na * nb), 6) AS cos_sim,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY round(dot / (na * nb), 6) DESC, vec_id ASC
+                         ) AS rn
+                  FROM s)
+            SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 10
+            ORDER BY query_id, cos_sim DESC, vec_id""",
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_sum(list_transform(embedding,

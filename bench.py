@@ -253,6 +253,7 @@ def main() -> int:
             "anti_join_resume",
             "typed_cast_battery",
             "ann_topk_cosine",
+            "ann_topk_batch",
             "token_count_stats",
             "minhash_dup_candidates",
             "simhash_fingerprints",

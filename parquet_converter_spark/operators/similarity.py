@@ -13,7 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dot(a, b):
@@ -50,6 +50,90 @@ def cosine_topk(
         df.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Exact cosine top-k for MANY queries in ONE pass over the table —
+    the serving shape for ANN evaluation sets and batched retrieval.
+
+    Distributed shape: the (small) query table is collected once
+    (bounded by ``max_queries`` — larger sets should shard) and enters
+    the scorer as a broadcast dense matrix; each Arrow batch pays a
+    single (batch × dim) @ (dim × Q) matmul, then a PARTIAL top-k per
+    query within the batch. The shuffle therefore carries ≤ Q·k rows
+    per batch — map-side combine for top-k — never the Q·N cross
+    product a naive crossJoin would. A final per-query window takes
+    the global top-k. Tie semantics match :func:`cosine_topk` exactly:
+    order by (cos_sim rounded 6dp DESC, id ASC); the partial select is
+    rounding- and tie-aware so the fused path is bit-identical to
+    running cosine_topk per query."""
+    import pandas as pd
+
+    qrows = query_df.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_batch: > {max_queries} queries; shard the query set"
+        )
+    if not qrows:
+        raise ValueError("cosine_topk_batch: empty query set")
+    qids = np.asarray([r[qid_col] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([np.asarray(r[qvec_col], np.float64) for r in qrows])
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+    qn = qmat / qnorm
+
+    out_schema = f"{qid_col} long, {id_col} long, cos_sim double"
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.asarray([np.asarray(e, np.float64) for e in pdf[vec_col]])
+            vnorm = np.maximum(np.linalg.norm(v, axis=1), 1e-300)
+            cos = np.round((v @ qn.T) / vnorm[:, None], 6)  # (b, Q)
+            b = len(ids)
+            out_q, out_i, out_c = [], [], []
+            for qi in range(len(qids)):
+                col = cos[:, qi]
+                if b > k:
+                    part = np.argpartition(-col, k - 1)[:k]
+                    # rounded ties at the kth value can be displaced by
+                    # a smaller id outside the partition — widen to all
+                    # rows matching the boundary value, then tie-sort
+                    boundary = col[part].min()
+                    cand = np.flatnonzero(col >= boundary)
+                else:
+                    cand = np.arange(b)
+                order = np.lexsort((ids[cand], -col[cand]))[:k]
+                sel = cand[order]
+                out_q.append(np.full(len(sel), qids[qi]))
+                out_i.append(ids[sel])
+                out_c.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    qid_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_c),
+                }
+            )
+
+    partial = df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(qid_col, F.desc("cos_sim"), F.asc(id_col))
     )
 
 

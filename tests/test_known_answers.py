@@ -708,3 +708,33 @@ def test_ivf_sq8_index_matches_quantized_exact_and_shrinks(spark, tmp_path):
     # and the pruned probe agrees with brute force on the same cells'
     # content (n_probe=1 over clustered data: query's own cell)
     assert len(pruned.collect()) == 5
+
+
+def test_cosine_topk_batch_matches_per_query_exactly(spark):
+    """The fused batch scorer must be row-identical to running
+    cosine_topk once per query — including rounded-cosine ties broken
+    by id across Arrow-batch boundaries (the partial top-k widens to
+    the boundary value before tie-sorting, so a smaller id in another
+    batch can never be lost)."""
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(300)]
+    # seeded exact ties: clones of vector 7 at far-apart ids
+    rows[150] = (150, rows[7][1])
+    rows[299] = (299, rows[7][1])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+    queries = spark.createDataFrame(
+        [(int(i), rows[i][1]) for i in (0, 7, 42)],
+        "query_id long, query_vec array<float>",
+    )
+    got = similarity.cosine_topk_batch(df, queries, k=10).collect()
+    assert len(got) == 30
+    for qid in (0, 7, 42):
+        want = similarity.cosine_topk(df, rows[qid][1], k=10).collect()
+        batch = [(r["vec_id"], r["cos_sim"]) for r in got if r["query_id"] == qid]
+        assert batch == [(r["vec_id"], r["cos_sim"]) for r in want], qid
+    # the clone ties surface for query 7, id-ascending
+    q7 = [r["vec_id"] for r in got if r["query_id"] == 7][:3]
+    assert q7 == [7, 150, 299]
+
+    with pytest.raises(ValueError, match="shard the query set"):
+        similarity.cosine_topk_batch(df, queries, k=5, max_queries=2)
