@@ -655,6 +655,32 @@ def _q_ivf_sq8_index_topk(spark, sf):
     return similarity.ivf_query(spark, idx, [float(x) for x in qvec], k=10, n_probe=4)
 
 
+def _q_ivf_batch_topk(spark, sf):
+    """Rows-only: batch ANN against the persisted SQ8 index — one
+    partition-pruned read of the probed-cell union, per-query cell
+    mask, map-side partial top-k. Known-answer: row-identical to
+    per-query ivf_query on both index layouts
+    (tests/test_known_answers.py::test_ivf_query_batch_matches_per_query)."""
+    emb = _t(spark, sf, "embeddings")
+    # reuse the content-fingerprint-cached SQ8 index
+    _q_ivf_sq8_index_topk(spark, sf)  # ensures the index exists
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf), "embeddings.parquet")
+    sig = hashlib.md5(("sq8:" + src).encode())
+    for f in sorted(glob.glob(os.path.join(src, "**", "*"), recursive=True) or [src]):
+        st = os.stat(f)
+        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    idx = os.path.join(tempfile.gettempdir(), f"pcs_ivf_sq8_{sig.hexdigest()[:12]}")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_query_batch(spark, idx, queries, k=10, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.4/§2.5 profiling (A1–A10, L1–L5)
@@ -708,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ivf_index_topk": _q_ivf_index_topk,
         "ivf_sq8_index_topk": _q_ivf_sq8_index_topk,
+        "ivf_batch_topk": _q_ivf_batch_topk,
         # oracle-checked since r5 via the shared parquet media fixture
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,

@@ -53,6 +53,49 @@ def cosine_topk(
     )
 
 
+def _partial_topk_frame(ids, cos, qids, k, qid_col, id_col):
+    """Per-batch partial top-k rows for every query column of ``cos``
+    (rounded cosines, possibly -inf-masked). The select widens to the
+    kth boundary VALUE before tie-sorting so rounded ties can still be
+    displaced by a smaller id in another batch — the global window then
+    reproduces single-query tie semantics exactly."""
+    import pandas as pd
+
+    b = len(ids)
+    out_q, out_i, out_c = [], [], []
+    for qi in range(len(qids)):
+        col = cos[:, qi]
+        finite = col > float("-inf")
+        if not finite.any():
+            continue
+        if b > k:
+            part = np.argpartition(-col, k - 1)[:k]
+            boundary = max(col[part].min(), np.float64("-inf"))
+            cand = np.flatnonzero((col >= boundary) & finite)
+        else:
+            cand = np.flatnonzero(finite)
+        order = np.lexsort((ids[cand], -col[cand]))[:k]
+        sel = cand[order]
+        out_q.append(np.full(len(sel), qids[qi]))
+        out_i.append(ids[sel])
+        out_c.append(col[sel])
+    if not out_q:
+        return pd.DataFrame(
+            {
+                qid_col: np.array([], np.int64),
+                id_col: np.array([], np.int64),
+                "cos_sim": np.array([], np.float64),
+            }
+        )
+    return pd.DataFrame(
+        {
+            qid_col: np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "cos_sim": np.concatenate(out_c),
+        }
+    )
+
+
 def cosine_topk_batch(
     df: DataFrame,
     query_df: DataFrame,
@@ -101,31 +144,7 @@ def cosine_topk_batch(
             v = np.asarray([np.asarray(e, np.float64) for e in pdf[vec_col]])
             vnorm = np.maximum(np.linalg.norm(v, axis=1), 1e-300)
             cos = np.round((v @ qn.T) / vnorm[:, None], 6)  # (b, Q)
-            b = len(ids)
-            out_q, out_i, out_c = [], [], []
-            for qi in range(len(qids)):
-                col = cos[:, qi]
-                if b > k:
-                    part = np.argpartition(-col, k - 1)[:k]
-                    # rounded ties at the kth value can be displaced by
-                    # a smaller id outside the partition — widen to all
-                    # rows matching the boundary value, then tie-sort
-                    boundary = col[part].min()
-                    cand = np.flatnonzero(col >= boundary)
-                else:
-                    cand = np.arange(b)
-                order = np.lexsort((ids[cand], -col[cand]))[:k]
-                sel = cand[order]
-                out_q.append(np.full(len(sel), qids[qi]))
-                out_i.append(ids[sel])
-                out_c.append(col[sel])
-            yield pd.DataFrame(
-                {
-                    qid_col: np.concatenate(out_q),
-                    id_col: np.concatenate(out_i),
-                    "cos_sim": np.concatenate(out_c),
-                }
-            )
+            yield _partial_topk_frame(ids, cos, qids, k, qid_col, id_col)
 
     partial = df.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -557,14 +576,19 @@ def _sq8_quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     return df.mapInPandas(comp, schema)
 
 
-def _sq8_dequantize(df: DataFrame, vec_col: str, id_col: str, dim: int) -> DataFrame:
+def _sq8_dequantize(
+    df: DataFrame, vec_col: str, id_col: str, dim: int, keep_cell: bool = False
+) -> DataFrame:
     """Reconstruct float32 vectors from (emb_q8, emb_scale) — runs only
     over the PROBED cells after partition pruning. One frombuffer over
     the batch's joined code bytes (fixed dim), vectorized scale
-    multiply."""
+    multiply. ``keep_cell`` carries ivf_cell through (batch queries
+    mask per-query probe sets on it)."""
     import pandas as pd
 
     schema = f"{id_col} long, {vec_col} array<float>"
+    if keep_cell:
+        schema += ", ivf_cell int"
 
     def comp(it):
         for pdf in it:
@@ -575,9 +599,10 @@ def _sq8_dequantize(df: DataFrame, vec_col: str, id_col: str, dim: int) -> DataF
             ).reshape(-1, dim)
             scales = pdf["emb_scale"].to_numpy(dtype=np.float32)
             vecs = codes.astype(np.float32) * scales[:, None]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), vec_col: list(vecs)}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), vec_col: list(vecs)}
+            if keep_cell:
+                out["ivf_cell"] = pdf["ivf_cell"].to_numpy()
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(comp, schema)
 
@@ -673,3 +698,76 @@ def ivf_query(
     if meta.get("store_codec") == "fq8":
         bucket = _sq8_dequantize(bucket, meta["vec_col"], meta["id_col"], meta["dim"])
     return cosine_topk(bucket, query_vec, k, meta["vec_col"], meta["id_col"])
+
+
+def ivf_query_batch(
+    spark,
+    index_dir: str,
+    query_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Batch ANN against a built IVF index — the serving shape for an
+    evaluation set or a retrieval batch: ONE partition-pruned read of
+    the UNION of every query's probed cells, one matmul per Arrow
+    batch, and a per-query CELL MASK so each query ranks only vectors
+    from ITS OWN probed cells. Results are row-identical to calling
+    :func:`ivf_query` once per query (known-answer tested), but the
+    index is read once instead of Q times and the shuffle carries
+    ≤ Q·k rows per batch (same map-side partial top-k as
+    :func:`cosine_topk_batch`). SQ8 indexes dequantize after the
+    prune, cells carried through for the mask."""
+    import pandas as pd
+
+    meta = spark.read.parquet(f"{index_dir}/index_meta").collect()[0].asDict()
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    cent = ivf_read_centroids(spark, index_dir)
+    qrows = query_df.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(f"ivf_query_batch: > {max_queries} queries; shard the query set")
+    if not qrows:
+        raise ValueError("ivf_query_batch: empty query set")
+    qids = np.asarray([r[qid_col] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([np.asarray(r[qvec_col], np.float64) for r in qrows])
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+    npb = min(n_probe, len(cent))
+    # (Q, n_probe) probed cells per query; allowed mask (n_cells, Q)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :npb]
+    allowed = np.zeros((len(cent), len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        allowed[probes[qi], qi] = True
+    union_cells = sorted(int(c) for c in np.unique(probes))
+
+    vectors = spark.read.parquet(f"{index_dir}/vectors").where(
+        F.col("ivf_cell").isin(union_cells)
+    )
+    if meta.get("store_codec") == "fq8":
+        vectors = _sq8_dequantize(
+            vectors, vec_col, id_col, meta["dim"], keep_cell=True
+        )
+
+    out_schema = f"{qid_col} long, {id_col} long, cos_sim double"
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["ivf_cell"].to_numpy(dtype=np.int64)
+            v = np.asarray([np.asarray(e, np.float64) for e in pdf[vec_col]])
+            vnorm = np.maximum(np.linalg.norm(v, axis=1), 1e-300)
+            cos = np.round((v @ qn.T) / vnorm[:, None], 6)  # (b, Q)
+            cos = np.where(allowed[cells], cos, float("-inf"))
+            yield _partial_topk_frame(ids, cos, qids, k, qid_col, id_col)
+
+    partial = vectors.select(id_col, vec_col, "ivf_cell").mapInPandas(score, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(qid_col, F.desc("cos_sim"), F.asc(id_col))
+    )

@@ -738,3 +738,31 @@ def test_cosine_topk_batch_matches_per_query_exactly(spark):
 
     with pytest.raises(ValueError, match="shard the query set"):
         similarity.cosine_topk_batch(df, queries, k=5, max_queries=2)
+
+
+def test_ivf_query_batch_matches_per_query(spark, tmp_path):
+    """Batch index query (one pruned read of the probed-cell union +
+    per-query cell mask) must be row-identical to per-query ivf_query
+    on BOTH the float32 and the SQ8 index."""
+    rng = np.random.default_rng(29)
+    k_cells, dim = 4, 16
+    centers = rng.standard_normal((k_cells, dim)) * 4.0
+    rows = [
+        (i, (centers[i % k_cells] + 0.3 * rng.standard_normal(dim))
+            .astype(np.float32).tolist())
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qset = [(int(i), rows[i][1]) for i in (0, 1, 2, 3)]
+    queries = spark.createDataFrame(qset, "query_id long, query_vec array<float>")
+
+    for codec in (None, "fq8"):
+        idx = str(tmp_path / f"idx_{codec}")
+        similarity.ivf_build_index(
+            spark, df, idx, n_cells=k_cells, sample_n=240, store_codec=codec
+        )
+        got = similarity.ivf_query_batch(spark, idx, queries, k=5, n_probe=2).collect()
+        for qid, qvec in qset:
+            want = similarity.ivf_query(spark, idx, qvec, k=5, n_probe=2).collect()
+            batch = [(r["vec_id"], r["cos_sim"]) for r in got if r["query_id"] == qid]
+            assert batch == [(r["vec_id"], r["cos_sim"]) for r in want], (codec, qid)
