@@ -423,10 +423,16 @@ def _q_embedding_closest_pairs(spark, sf):
 
 
 def _q_lsh_near_dup_pairs(spark, sf):
-    """LSH-bucketed near-dup pairs (the scale path; rows-only)."""
+    """LSH-bucketed near-dup pairs (the scale path; rows-only).
+    threshold 0.35 matches this corpus's similarity range but is BELOW
+    where hyperplane LSH is selective (per-plane agreement 0.62 vs 0.5
+    noise) — the explicit (r=4, B=16) operating point trades ~64% of
+    pairs as exact-verified candidates for ~0.92 recall; at real
+    near-dup thresholds (≥0.8) the auto-planner reaches ~2% candidates
+    (see similarity._plan_lsh_bands and the bench's pair-recall)."""
     return similarity.lsh_near_dup_pairs(
         _t(spark, sf, "embeddings"), threshold=0.35, dim=64,
-        planes_per_band=3, bands=12,
+        planes_per_band=4, bands=16,
     )
 
 
@@ -603,6 +609,25 @@ def _q_ivf_ann_topk(spark, sf):
     )
 
 
+def _ivf_index_dir(sf, prefix: str) -> str:
+    """Index cache dir keyed by a CONTENT fingerprint of the embeddings
+    table (path + per-file size/mtime) so a regenerated table can never
+    serve a stale index. Shared by every persisted-index query."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf), "embeddings.parquet")
+    sig = hashlib.md5((prefix + ":" + src).encode())
+    for f in sorted(glob.glob(os.path.join(src, "**", "*"), recursive=True) or [src]):
+        st = os.stat(f)
+        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join(
+        tempfile.gettempdir(), f"pcs_{prefix}_{sig.hexdigest()[:12]}"
+    )
+
+
 def _q_ivf_index_topk(spark, sf):
     """Persisted cell-partitioned IVF index query (rows-only): build
     once per (session tmp, sf), then every query is a PartitionFilters
@@ -610,20 +635,10 @@ def _q_ivf_index_topk(spark, sf):
     Known-answer (equals ad-hoc ivf_ann_topk + degenerates to exact)
     in tests/test_known_answers.py; partition-prune plan asserted in
     tests/test_plans.py."""
-    import glob
-    import hashlib
     import os
-    import tempfile
 
     emb = _t(spark, sf, "embeddings")
-    # cache key = CONTENT fingerprint (path + per-file size/mtime), so a
-    # regenerated embeddings table can never serve a stale index
-    src = os.path.join(os.path.abspath(sf), "embeddings.parquet")
-    sig = hashlib.md5(src.encode())
-    for f in sorted(glob.glob(os.path.join(src, "**", "*"), recursive=True) or [src]):
-        st = os.stat(f)
-        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
-    idx = os.path.join(tempfile.gettempdir(), f"pcs_ivf_idx_{sig.hexdigest()[:12]}")
+    idx = _ivf_index_dir(sf, "ivf_idx")
     if not os.path.isdir(os.path.join(idx, "index_meta")):
         similarity.ivf_build_index(spark, emb, idx, n_cells=16)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -637,18 +652,10 @@ def _q_ivf_sq8_index_topk(spark, sf):
     the float32 index. Known-answer: a probe-all query equals exact
     search over fq8-roundtripped vectors (tests/test_known_answers.py
     ::test_ivf_sq8_index_matches_quantized_exact_and_shrinks)."""
-    import glob
-    import hashlib
     import os
-    import tempfile
 
     emb = _t(spark, sf, "embeddings")
-    src = os.path.join(os.path.abspath(sf), "embeddings.parquet")
-    sig = hashlib.md5(("sq8:" + src).encode())
-    for f in sorted(glob.glob(os.path.join(src, "**", "*"), recursive=True) or [src]):
-        st = os.stat(f)
-        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
-    idx = os.path.join(tempfile.gettempdir(), f"pcs_ivf_sq8_{sig.hexdigest()[:12]}")
+    idx = _ivf_index_dir(sf, "ivf_sq8")
     if not os.path.isdir(os.path.join(idx, "index_meta")):
         similarity.ivf_build_index(spark, emb, idx, n_cells=16, store_codec="fq8")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -661,20 +668,12 @@ def _q_ivf_batch_topk(spark, sf):
     mask, map-side partial top-k. Known-answer: row-identical to
     per-query ivf_query on both index layouts
     (tests/test_known_answers.py::test_ivf_query_batch_matches_per_query)."""
-    emb = _t(spark, sf, "embeddings")
-    # reuse the content-fingerprint-cached SQ8 index
-    _q_ivf_sq8_index_topk(spark, sf)  # ensures the index exists
-    import glob
-    import hashlib
     import os
-    import tempfile
 
-    src = os.path.join(os.path.abspath(sf), "embeddings.parquet")
-    sig = hashlib.md5(("sq8:" + src).encode())
-    for f in sorted(glob.glob(os.path.join(src, "**", "*"), recursive=True) or [src]):
-        st = os.stat(f)
-        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
-    idx = os.path.join(tempfile.gettempdir(), f"pcs_ivf_sq8_{sig.hexdigest()[:12]}")
+    emb = _t(spark, sf, "embeddings")
+    idx = _ivf_index_dir(sf, "ivf_sq8")
+    if not os.path.isdir(os.path.join(idx, "index_meta")):
+        similarity.ivf_build_index(spark, emb, idx, n_cells=16, store_codec="fq8")
     queries = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -378,15 +378,21 @@ def main() -> int:
         # threshold (precision is 1.0 by construction: every emitted
         # pair carries its exact cosine)
         thr = 0.35
+        truth_k = 2000
+        truth_rows = similarity.closest_pairs(emb, k=truth_k).collect()
         truth_pairs = {
-            (r["a_id"], r["b_id"])
-            for r in similarity.closest_pairs(emb, k=500).collect()
-            if r["cos_sim"] >= thr
+            (r["a_id"], r["b_id"]) for r in truth_rows if r["cos_sim"] >= thr
         }
+        # a full truth_k result means the top-k cap truncated the truth
+        # set to the easiest (highest-cosine) pairs — recall would be
+        # inflated; surface it instead of silently reporting
+        extra["near_dup_truth_capped"] = bool(
+            len(truth_rows) == truth_k and truth_rows[-1]["cos_sim"] >= thr
+        )
         lsh_pairs = {
             (r["a_id"], r["b_id"])
             for r in similarity.lsh_near_dup_pairs(
-                emb, threshold=thr, dim=dim, planes_per_band=3, bands=12
+                emb, threshold=thr, dim=dim, planes_per_band=4, bands=16
             ).collect()
         }
         extra["lsh_pair_recall"] = round(

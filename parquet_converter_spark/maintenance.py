@@ -183,28 +183,49 @@ def compact_blocks(
     # same-conversation streaming epochs collapse into few keys): it
     # re-keys a decode of just conv_id/turn_idx/ts — the text blocks,
     # ~95% of the bytes, are never read (column-pruned blocks scan).
+    # The exact count is only PAID when the decision is actually close
+    # (code-review r5): chunk-floor alone can prove the skip without
+    # it, and when even the a-priori key ceiling (potential group keys
+    # + one spillover key per salt_rows rows for long conversations)
+    # sits below the current count, the rewrite proceeds regardless —
+    # the common productive-compaction case pays no extra decode. The
+    # ceiling assumes spillover salt keys carry ~salt_rows rows each
+    # (dense turn_idx, the transcript shape); a pathological table
+    # whose conversations have turn-idx GAPS wider than salt_rows can
+    # exceed it, costing one non-improving rewrite per compact call
+    # instead of a skip — never a wrong result, and the exact check
+    # still arbitrates whenever the ceiling is within reach.
     import math
 
     from .partitioning import resolve_time_bucket, with_group_keys
 
-    key_cols = ["conv_id", "turn_idx"] + (
-        ["ts"] if resolve_time_bucket(time_bucket) is not None else []
-    )
-    occupied = (
-        with_group_keys(
-            _decode_triples(spark, io, triples, cols=key_cols),
-            nb, salt_rows, time_bucket=time_bucket,
+    rows_total = int(agg["rows"])
+    chunks_now = int(agg["chunks"])
+    chunk_floor = math.ceil(rows_total / chunk_rows)
+    key_ceiling = nb * max(1, n_windows) + math.ceil(rows_total / salt_rows)
+    if chunk_floor >= chunks_now:
+        achievable = chunk_floor
+    elif key_ceiling < chunks_now:
+        achievable = None  # cannot reach the skip bar: rewrite helps
+    else:
+        key_cols = ["conv_id", "turn_idx"] + (
+            ["ts"] if resolve_time_bucket(time_bucket) is not None else []
         )
-        .select("bucket", "salt")
-        .distinct()
-        .count()
-    )
-    achievable = max(occupied, math.ceil(int(agg["rows"]) / chunk_rows))
-    if achievable >= int(agg["chunks"]):
+        occupied = (
+            with_group_keys(
+                _decode_triples(spark, io, triples, cols=key_cols),
+                nb, salt_rows, time_bucket=time_bucket,
+            )
+            .select("bucket", "salt")
+            .distinct()
+            .count()
+        )
+        achievable = max(occupied, chunk_floor)
+    if achievable is not None and achievable >= chunks_now:
         return {"compacted_groups": 0, "rows": 0,
-                "blocks_before": int(agg["chunks"]), "blocks_after": int(agg["chunks"]),
+                "blocks_before": chunks_now, "blocks_after": chunks_now,
                 "run_id": None, "skipped": "rewrite cannot reduce block count "
-                f"(achievable floor {achievable} >= current {int(agg['chunks'])})"}
+                f"(achievable floor {achievable} >= current {chunks_now})"}
     rows_df = _decode_triples(spark, io, triples)
     # all-or-nothing: encode_table ABORTS the whole commit (raises, old
     # table untouched, new blocks orphaned) if any group's re-encode

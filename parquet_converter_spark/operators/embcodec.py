@@ -155,12 +155,20 @@ def _lossy_batch_metrics(s: pd.Series, codec: str) -> dict:
         max_rel = float(rel.max())
         if codec == "fq8":
             limit = v_amax / 254.0 * (1 + 1e-5) + 1e-12
+            bound_ok = bool(np.all(v_err <= limit))
         elif codec == "fq16":
-            limit = v_amax * 2**-11
+            # ELEMENT-wise bound scoped exactly like the codec's
+            # contract: 2^-11 relative in the fp16 normal range, half a
+            # subnormal step (2^-25) absolute below it, and saturation
+            # to ±inf above 65504 / for non-finite inputs is the
+            # documented behavior, not a violation (a per-vector
+            # amax·2^-11 limit falsely flagged subnormal-range vectors)
+            el_limit = np.maximum(np.abs(flat_a) * 2.0**-11, 2.0**-25 + 1e-18)
+            in_scope = np.isfinite(flat_a) & (np.abs(flat_a) <= 65504.0)
+            bound_ok = bool(np.all(err[in_scope] <= el_limit[in_scope]))
         else:  # fpq: no closed-form bound — bound_ok stays null and
             # the realized error/cosine fields ARE the quality report
-            limit = None
-        bound_ok = bool(np.all(v_err <= limit)) if limit is not None else None
+            bound_ok = None
         # empty and null vectors roundtrip exactly: count them at cos 1
         sum_cos = float(cos.sum()) + float((~nz).sum()) + float(len(s) - len(vals))
     else:

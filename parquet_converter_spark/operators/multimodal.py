@@ -86,6 +86,10 @@ def synth_media(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+#: bump when _media_row's recipe changes (see ensure_media_fixture)
+_FIXTURE_VERSION = 1
+
+
 def ensure_media_fixture(n: int = 120, seed: int = 42, path: str | None = None) -> str:
     """Materialize the synthetic media table ONCE as a parquet file
     both engines read — Spark for the driver queries, DuckDB for the
@@ -99,8 +103,14 @@ def ensure_media_fixture(n: int = 120, seed: int = 42, path: str | None = None) 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # _FIXTURE_VERSION is part of the cache filename: bump it on ANY
+    # change to _media_row's generation recipe, or machines with a
+    # pre-existing /tmp fixture would silently serve stale contents
+    # (Spark and DuckDB would still agree with each other, hiding the
+    # drift behind a green oracle while hashes diverge across machines)
     path = path or os.path.join(
-        tempfile.gettempdir(), f"pcs_media_fixture_{n}_{seed}.parquet"
+        tempfile.gettempdir(),
+        f"pcs_media_fixture_v{_FIXTURE_VERSION}_{n}_{seed}.parquet",
     )
     if os.path.isfile(path):
         return path

@@ -119,7 +119,13 @@ def cosine_topk_batch(
     the global top-k. Tie semantics match :func:`cosine_topk` exactly:
     order by (cos_sim rounded 6dp DESC, id ASC); the partial select is
     rounding- and tie-aware so the fused path is bit-identical to
-    running cosine_topk per query."""
+    running cosine_topk per query. Known divergences at the margins:
+    a zero-norm QUERY vector scores 0.0 here (norm clamp) where the
+    single-query SQL expression yields null cosines, and — as with
+    every 6dp-rounded oracle comparison in this repo — sums computed
+    in different orders (BLAS vs JVM fold) can in principle round to
+    adjacent 6dp values when the true cosine sits within ~1e-15 of a
+    rounding boundary."""
     import pandas as pd
 
     qrows = query_df.select(qid_col, qvec_col).limit(max_queries + 1).collect()
@@ -198,17 +204,90 @@ def closest_pairs(
     )
 
 
+def _plan_lsh_bands(
+    threshold: float,
+    recall_target: float = 0.9,
+    max_candidate_frac: float = 0.05,
+    max_planes: int = 256,
+    max_bands: int = 64,
+    max_r: int = 20,
+) -> tuple[int, int, float, float]:
+    """Pick (planes_per_band r, bands B) for a cosine threshold from
+    the banding math: a pair AT the threshold agrees per plane with
+    p = 1 - arccos(t)/π, is caught with recall 1-(1-p^r)^B, while a
+    RANDOM pair becomes a candidate with frac 1-(1-2^-r)^B. Among
+    configs inside the plane budget that meet ``recall_target``, take
+    the most selective (min frac); if none can, take the max-recall
+    config. Returns (r, B, expected_recall, expected_random_frac) —
+    callers warn when frac exceeds ``max_candidate_frac``: hyperplane
+    LSH is intrinsically weakly selective at low thresholds (p barely
+    above 1/2), where MinHash-on-text or IVF are the better tools."""
+    import math
+
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    best = None
+    feasible = []
+    for r in range(1, max_r + 1):
+        pr = p**r
+        if pr <= 0.0 or pr >= 1.0:
+            b = 1
+        else:
+            b = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - pr))
+        b = max(1, min(b, max_bands, max(1, max_planes // r)))
+        rec = 1.0 - (1.0 - pr) ** b
+        frac = 1.0 - (1.0 - 2.0**-r) ** b
+        cand = (r, b, rec, frac)
+        if rec >= recall_target:
+            feasible.append(cand)
+        if best is None or (rec, -frac) > (best[2], -best[3]):
+            best = cand
+    if feasible:
+        return min(feasible, key=lambda c: c[3])
+    return best
+
+
+def banded_signatures(
+    df: DataFrame,
+    dim: int,
+    planes_per_band: int,
+    bands: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-band LSH buckets, EXPLODED to (id, band, bucket) rows —
+    band ``b`` hashes planes [b·r, (b+1)·r) of the same seeded plane
+    matrix ``hyperplane_signatures`` uses, but without the packed-long
+    63-plane ceiling (r·B planes total; each band bucket is its own
+    ≤ ``r``-bit long). All JVM-side literal-plane dot products; one
+    projection, no UDF."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * planes_per_band, dim))
+    structs = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(planes_per_band):
+            p = F.array(*[F.lit(float(x)) for x in planes[b * planes_per_band + i]])
+            bit = (_dot(F.col(vec_col), p) > 0).cast("long")
+            bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+        structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     dim: int = 64,
-    planes_per_band: int = 3,
-    bands: int = 12,
+    planes_per_band: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     chunk_size: int | None = None,
     max_bucket_size: int | None = None,
+    recall_target: float = 0.9,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: BANDED hyperplane-LSH bucket
     join → exact cosine only within buckets → threshold filter.
@@ -217,40 +296,43 @@ def lsh_near_dup_pairs(
 
     Banding is the OR-of-ANDs recall amplifier (the same construction
     MinHash-LSH uses): a pair is a candidate when it agrees on ALL
-    ``planes_per_band`` planes of ANY band. A single ``r``-plane
-    signature catches a cos-θ pair with probability ``(1 - θ/π)^r`` —
-    at cos 0.35 and r=6 that is ~5% recall; with B bands it becomes
-    ``1 - (1 - (1-θ/π)^r)^B`` ≈ 96% at r=3, B=12. Cost: B exploded
-    bucket rows per vector (one shuffle, same shape as the MinHash
-    banding) and up to B-fold duplicate candidates, deduped BEFORE the
-    exact-cosine verify.
+    ``planes_per_band`` planes of ANY band — recall 1-(1-p^r)^B at
+    per-plane agreement p = 1-θ/π. By default (r, B) are PLANNED from
+    the threshold (``_plan_lsh_bands``): meet ``recall_target`` with
+    the fewest random-pair candidates. SELECTIVITY IS THRESHOLD-BOUND:
+    at cos 0.8 the planner reaches ~2% random-candidate fraction, but
+    at cos 0.35 per-plane agreement is only 0.62 vs 0.5 for noise, so
+    NO banding is selective — the op logs a warning with the expected
+    candidate fraction and the better tools (MinHash on text, IVF).
+    Cost: B exploded bucket rows per vector (one shuffle) and cross-
+    band duplicate candidates, deduped BEFORE the exact-cosine verify.
 
     Skew-guarded: the within-bucket pairing is a
     ``skewjoin.bounded_self_join`` (per-task pair count ≤ chunk_size²),
     so one hot bucket of near-identical embeddings cannot serialize the
     stage. ``max_bucket_size`` optionally skips pairing such buckets —
     report them via ``skewjoin.oversized_buckets`` on the banded frame."""
+    import logging
+
     from .skewjoin import DEFAULT_CHUNK_SIZE, bounded_self_join
 
-    n_planes = planes_per_band * bands
-    sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
-    mask = (1 << planes_per_band) - 1
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(
-                            F.col("lsh_bucket"), b * planes_per_band
-                        ).bitwiseAND(F.lit(mask)).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+    if planes_per_band is None or bands is None:
+        r, b, exp_rec, exp_frac = _plan_lsh_bands(threshold, recall_target)
+        planes_per_band = planes_per_band or r
+        bands = bands or b
+        if exp_frac > 0.05:
+            logging.getLogger(__name__).warning(
+                "lsh_near_dup_pairs: threshold %.2f is too low for selective "
+                "hyperplane LSH — planned (r=%d, B=%d) catches ~%.0f%% of "
+                "target pairs but makes ~%.0f%% of ALL pairs candidates "
+                "(exact-verified, so precision holds, but cost approaches "
+                "the cross join). Prefer threshold ≥ 0.7, MinHash-LSH on "
+                "text, or IVF cell-blocking at this similarity level.",
+                threshold, planes_per_band, bands, exp_rec * 100, exp_frac * 100,
             )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = banded_signatures(
+        df, dim, planes_per_band, bands, seed, vec_col, id_col
+    )
     cand = (
         bounded_self_join(
             banded,
@@ -531,37 +613,31 @@ def ivf_ann_topk(
 
 
 def _sq8_quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """Per-vector symmetric int8 quantization of an assigned frame —
-    the SAME formula as the fq8 block codec (scale = float32(amax/127),
-    q = round(clip(x/scale))), so index contents match what
-    fq8-quantized block storage would serve. Vectorized flat+reduceat,
-    no per-element Python."""
+    """Per-vector symmetric int8 quantization of an assigned frame.
+    Delegates the arithmetic to ``Fq8VecCodec.encode_vecs`` itself and
+    unpacks its (lengths, scales, codes) sections — ONE source of truth,
+    so index contents are bit-identical to fq8 block storage by
+    construction (a re-implementation here drifted: float64 products
+    can rint across a half-step boundary differently than the codec's
+    float32 path — code-review r5 finding)."""
     import pandas as pd
 
+    from ..codecs.primitives import unpack_sections
+    from ..codecs.vectors import Fq8VecCodec
+
+    codec = Fq8VecCodec()
     schema = f"{id_col} long, emb_q8 binary, emb_scale float, ivf_cell int"
 
     def comp(it):
         for pdf in it:
             arrs = [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
             lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
-            flat = (
-                np.concatenate(arrs) if arrs else np.empty(0, np.float32)
-            ).astype(np.float32)
+            flat = np.concatenate(arrs) if arrs else np.empty(0, np.float32)
+            payload = codec.encode_vecs(lens, flat)
+            _, scale_sec, code_sec = unpack_sections(payload, 3)
+            scales = np.frombuffer(scale_sec, dtype="<f4")
+            q = np.frombuffer(code_sec, dtype=np.int8)
             bounds = np.concatenate([[0], np.cumsum(lens)])
-            amax = np.zeros(len(lens), dtype=np.float64)
-            nz = lens > 0
-            if flat.size and nz.any():
-                amax[nz] = np.maximum.reduceat(np.abs(flat), bounds[:-1][nz])
-            scales = (amax / 127.0).astype(np.float32)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                inv = np.repeat(
-                    np.where(scales > 0, 1.0 / np.where(scales > 0, scales, 1.0), 0.0),
-                    lens,
-                ).astype(np.float64)
-                q = np.nan_to_num(
-                    np.clip(np.rint(flat.astype(np.float64) * inv), -127, 127),
-                    nan=0.0, posinf=127, neginf=-127,
-                ).astype(np.int8)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

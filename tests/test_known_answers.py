@@ -766,3 +766,22 @@ def test_ivf_query_batch_matches_per_query(spark, tmp_path):
             want = similarity.ivf_query(spark, idx, qvec, k=5, n_probe=2).collect()
             batch = [(r["vec_id"], r["cos_sim"]) for r in got if r["query_id"] == qid]
             assert batch == [(r["vec_id"], r["cos_sim"]) for r in want], (codec, qid)
+
+
+def test_fq16_bound_scoped_to_half_precision_contract(spark):
+    """fq16's bound check must not flag behavior the codec documents:
+    subnormal-range vectors (graded underflow, error ≤ half a 2^-24
+    step — far above amax·2^-11) and overflow saturation to ±inf are
+    the contract, not violations."""
+    from parquet_converter_spark.operators import embcodec
+
+    vals = [
+        [1e-7, -3e-8, 5e-8],          # entirely below the fp16 normal floor
+        [70000.0, 1.0, -0.5],         # saturates to +inf (documented)
+        [0.25, -0.125, 0.0625],       # exactly representable: zero error
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "vec_id long, embedding array<float>"
+    )
+    row = embcodec.lossy_compression_metrics(df, codecs=("fq16",)).collect()[0]
+    assert row["bound_ok"] is True, row
