@@ -80,7 +80,12 @@ def entry(spark: SparkSession) -> DataFrame:
             )
             .orderBy("column", "codec")
         )
-        metrics = spark.createDataFrame(metrics.collect(), metrics.schema)
+        # detach from the tmp table via a driver-local frame; the
+        # Arrow/pandas constructor keeps it a JVM LocalRelation instead
+        # of a pickled Python RDD (seconds per downstream action)
+        from parquet_converter_spark.localframe import local_df
+
+        metrics = local_df(spark, [tuple(r) for r in metrics.collect()], metrics.schema)
         return metrics
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -115,8 +120,12 @@ def _q_null_unique_pct(spark, sf):
 
 
 def _q_profile_all_columns(spark, sf):
+    from parquet_converter_spark.parallel import fan_out
+
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
-    return profile.profile_all_columns(_t(spark, sf, "orders"), cols)
+    # fan_out: the 5-way countDistinct expand runs map-side; a one-file
+    # scan would serialize it on one core (identity at real scale)
+    return profile.profile_all_columns(fan_out(_t(spark, sf, "orders"), "o_orderkey"), cols)
 
 
 def _q_summary_rollup(spark, sf):
@@ -169,7 +178,9 @@ def _q_filter_project_agg(spark, sf):
 
 def _q_anti_join_resume(spark, sf):
     """§2.6 — the resume pattern: planned minus completed via LEFT ANTI."""
-    orders = _t(spark, sf, "orders")
+    from parquet_converter_spark.parallel import fan_out
+
+    orders = fan_out(_t(spark, sf, "orders"), "o_custkey")
     done = _t(spark, sf, "customer").where(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("o_custkey")
     )
@@ -184,7 +195,11 @@ def _q_anti_join_resume(spark, sf):
 
 
 def _q_typed_cast_battery(spark, sf):
-    ev = _t(spark, sf, "events")
+    from parquet_converter_spark.parallel import fan_out
+
+    # the cast battery is a per-row expression chain over every event —
+    # spread a one-file scan across cores (identity at real scale)
+    ev = fan_out(_t(spark, sf, "events"), "event_id")
     s_int = F.col("event_id").cast("string")
     bool_src = (
         F.when(F.col("event_id") % 3 == 0, F.lit("true"))
@@ -507,7 +522,10 @@ def _q_decode_error_isolation(spark, sf):
         decoded_n = int(decode_table(spark, io, on_error="skip").count())
         bad = corrupt_blocks(spark, io).select("column").collect()
         assert total - decoded_n == n_lost  # all-or-nothing per block
-        return spark.createDataFrame(
+        from parquet_converter_spark.localframe import local_df
+
+        return local_df(
+            spark,
             [(total, decoded_n, total - decoded_n, len(bad),
               bad[0]["column"] if bad else None)],
             "total_rows long, decoded_rows long, lost_rows long, "
@@ -553,7 +571,10 @@ def _q_decode_time_slice(spark, sf):
                 (F.col("ts_min") <= F.lit(hi)) & (F.col("ts_max") >= F.lit(lo))
             ).count()
         )
-        return spark.createDataFrame(
+        from parquet_converter_spark.localframe import local_df
+
+        return local_df(
+            spark,
             [(len(pdf), sliced, total_blocks, touched)],
             "total_rows long, sliced_rows long, total_blocks long, touched_blocks long",
         )

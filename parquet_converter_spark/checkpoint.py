@@ -26,7 +26,9 @@ TABLE_META = "table_meta"
 def read_manifest(io) -> DataFrame:
     if io.exists(MANIFEST):
         return io.read(MANIFEST, MANIFEST_SCHEMA)
-    return io.spark.createDataFrame([], MANIFEST_SCHEMA)
+    from .localframe import empty_df
+
+    return empty_df(io.spark, MANIFEST_SCHEMA)
 
 
 def completed_groups(io, run_id: str | None = None) -> DataFrame:
@@ -88,7 +90,9 @@ def committed_blocks(io) -> DataFrame:
                     "maintenance.recover_vacuum(io) (or any maintenance "
                     "command) to repair before reading"
                 )
-        return io.spark.createDataFrame([], BLOCKS_STORED_SCHEMA)
+        from .localframe import empty_df
+
+        return empty_df(io.spark, BLOCKS_STORED_SCHEMA)
     blocks = io.read(BLOCKS, BLOCKS_STORED_SCHEMA)
     # every visible (bucket, salt, run_id) triple is readable: distinct
     # runs over the same group key are DISJOINT data increments

@@ -310,9 +310,15 @@ def encode_table(
 
     # fresh-run fast path: nothing committed (in scope) and no group cap
     # → skip the full-table distinct + semi-join entirely (saves one
-    # complete aggregate job over the input on every first run)
+    # complete aggregate job over the input on every first run). The
+    # manifest-exists probe is a filesystem check, so a fresh TABLE
+    # skips even the empty-manifest scan job.
     scope_run = run_id if resume_scope == "run" else None
-    already = resume and ckpt.completed_groups(io, scope_run).limit(1).count() > 0
+    already = (
+        resume
+        and io.exists(ckpt.MANIFEST)
+        and ckpt.completed_groups(io, scope_run).limit(1).count() > 0
+    )
     if not already and max_groups is None:
         todo = keyed
     else:
@@ -404,10 +410,14 @@ def encode_table(
     # run (harmless — it only widens the candidate bucket set), never
     # a VISIBLE run without its geometry, which would make
     # decode_conversation's bucket pruning miss its rows forever.
+    from .localframe import local_df
     from .schema import TABLE_META_SCHEMA
 
     ts_lo, ts_hi = span if span is not None else (None, None)
-    meta_df = spark.createDataFrame(
+    # driver-local one-row frame: the Arrow local-relation path, not a
+    # 32-slice Python RDD whose write costs ~0.7 s (localframe.py)
+    meta_df = local_df(
+        spark,
         [
             (
                 phys_run_id,

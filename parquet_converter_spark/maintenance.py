@@ -505,19 +505,21 @@ def vacuum_blocks(spark: SparkSession, io) -> dict:
             "+ rewrite_data_files (metadata-level, no full rewrite)"
         )
     recover_vacuum(io)  # finish/abort any prior crashed swap first
-    freed = reclaimable_bytes(io)
-    # decide on dead ROWS, not bytes: aborted-commit orphans include
-    # 0-byte error-marker rows that still deserve removal
     if not io.exists(ckpt.BLOCKS):
         return {"bytes_reclaimed": 0, "rows_kept": -1}
-    dead_rows = (
+    # ONE stats-only scan answers both maintenance questions (was two:
+    # a reclaimable-bytes sum plus a separate dead-row probe): decide
+    # on dead ROWS, not bytes — aborted-commit orphans include 0-byte
+    # error-marker rows that still deserve removal
+    dead = (
         io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA)
-        .select("bucket", "salt", "run_id")
+        .select("bucket", "salt", "run_id", "blk_bytes")
         .join(ckpt.visible_triples(io), ["bucket", "salt", "run_id"], "left_anti")
-        .limit(1)
-        .count()
+        .agg(F.count("*").alias("rows"), F.sum("blk_bytes").alias("bytes"))
+        .collect()[0]
     )
-    if dead_rows == 0:
+    freed = int(dead["bytes"] or 0)
+    if int(dead["rows"] or 0) == 0:
         return {"bytes_reclaimed": 0, "rows_kept": -1}
     visible = ckpt.committed_blocks(io)
     tmp_path = io.path(ckpt.BLOCKS) + "__vacuum"

@@ -73,8 +73,15 @@ def minhash_signatures(
     Explode shingles ONCE, hash each shingle with all seeds in the same
     projection (16 xxhash64 calls per shingle row — one codegen stage),
     then a single groupBy(doc) computing all 16 mins in one Aggregate
-    node. One shuffle total; scales as a plain wide aggregation."""
-    exploded = df.select(
+    node. One shuffle total; scales as a plain wide aggregation.
+
+    Input is ``fan_out``-guarded: the shingle construction + hashing is
+    the expensive stage, and a single-file corpus sample would run it
+    on one core (guide §2.5) — at real corpus scale the guard is the
+    identity."""
+    from ..parallel import fan_out
+
+    exploded = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(_shingles(text_col)).alias("sh")
     ).select(
         id_col, *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
@@ -271,9 +278,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     Explode tokens once, hash each, then ONE groupBy(doc) aggregate
     computing all 64 bit-vote sums (a single wide Aggregate node with
-    map-side partial agg — one shuffle, scales like word-count)."""
+    map-side partial agg — one shuffle, scales like word-count).
+
+    ``fan_out``-guarded like minhash_signatures: the tokenize + 64-sum
+    partial aggregation must not serialize on a one-split scan."""
+    from ..parallel import fan_out
+
     tokens = F.filter(F.split(F.trim(F.col(text_col)), " "), lambda t: t != "")
-    exploded = df.select(F.col(id_col), F.explode(tokens).alias("tok")).select(
+    exploded = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(tokens).alias("tok")
+    ).select(
         id_col, F.xxhash64("tok").alias("h")
     )
     votes = exploded.groupBy(id_col).agg(

@@ -442,6 +442,21 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     driver_budget: int = DEFAULT_DRIVER_TRAIN_BUDGET,
 ) -> np.ndarray:
+    return _train_centroids_counted(
+        df, k, sample_n, iters, seed, vec_col, id_col, driver_budget
+    )[0]
+
+
+def _train_centroids_counted(
+    df: DataFrame,
+    k: int = 16,
+    sample_n: int | None = None,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    driver_budget: int = DEFAULT_DRIVER_TRAIN_BUDGET,
+) -> tuple[np.ndarray, int]:
     """k-means centroids (L2-normalized → spherical k-means, the right
     quantizer for cosine) from a deterministic bounded sample.
 
@@ -494,7 +509,7 @@ def ivf_train_centroids(
                 if len(sel_x):
                     c = sel_x.mean(axis=0)
                     cent[j] = c / max(np.linalg.norm(c), 1e-12)
-        return cent
+        return cent, n
 
     # ---- distributed path: sample stays executor-side
     sample_df = sel.select("_v").cache()
@@ -507,7 +522,7 @@ def ivf_train_centroids(
         k = len(cent)
         for _ in range(iters):
             cent = _lloyd_step_distributed(sample_df, cent)
-        return cent
+        return cent, n
     finally:
         sample_df.unpersist()
 
@@ -683,6 +698,53 @@ def _sq8_dequantize(
     return df.mapInPandas(comp, schema)
 
 
+def _assign_sq8_quantize(
+    df: DataFrame, centroids: np.ndarray, vec_col: str, id_col: str
+) -> DataFrame:
+    """Fused cell assignment + SQ8 quantization: ONE ``mapInPandas``
+    pass over the vectors instead of assign→quantize chained (two full
+    JVM↔Python round trips of every embedding — guide §4: you control
+    how many times the columns cross the boundary). Quantization is
+    per-vector (scale = amax/127 per vector via ``Fq8VecCodec``), so
+    fusing cannot change any byte of the output."""
+    import pandas as pd
+
+    from ..codecs.primitives import unpack_sections
+    from ..codecs.vectors import Fq8VecCodec
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    codec = Fq8VecCodec()
+    schema = f"{id_col} long, emb_q8 binary, emb_scale float, ivf_cell int"
+
+    def comp(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray([np.asarray(e, np.float64) for e in pdf[vec_col]])
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax(vn @ cent.T, axis=1).astype("int32")
+            arrs = [np.asarray(e, dtype=np.float32) for e in pdf[vec_col]]
+            lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
+            flat = np.concatenate(arrs) if arrs else np.empty(0, np.float32)
+            payload = codec.encode_vecs(lens, flat)
+            _, scale_sec, code_sec = unpack_sections(payload, 3)
+            scales = np.frombuffer(scale_sec, dtype="<f4")
+            q = np.frombuffer(code_sec, dtype=np.int8)
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "emb_q8": [
+                        q[bounds[i] : bounds[i + 1]].tobytes() for i in range(len(lens))
+                    ],
+                    "emb_scale": scales,
+                    "ivf_cell": cells,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(comp, schema)
+
+
 def ivf_build_index(
     spark,
     df: DataFrame,
@@ -715,36 +777,97 @@ def ivf_build_index(
     """
     if store_codec not in (None, "fq8"):
         raise ValueError(f"store_codec must be None or 'fq8', got {store_codec!r}")
-    cent = ivf_train_centroids(
+    # training already counts the table for its sample predicate —
+    # reuse that count instead of a second full count job at the end
+    cent, n_rows = _train_centroids_counted(
         df, n_cells, sample_n, seed=seed, vec_col=vec_col, id_col=id_col
     )
-    assigned = ivf_assign(df, cent, vec_col)
     if store_codec == "fq8":
-        assigned = _sq8_quantize(assigned, vec_col, id_col)
+        # fused assign+quantize: one Python pass over the vectors, not two
+        assigned = _assign_sq8_quantize(df, cent, vec_col, id_col)
+    else:
+        assigned = ivf_assign(df, cent, vec_col)
     # one shuffle on ivf_cell so each cell's files are written together
     # (without it every task writes a sliver of every cell: tiny files
     # at scale); the cell is the partition dir, pruned at query time
     assigned.repartition("ivf_cell").write.mode("overwrite").partitionBy(
         "ivf_cell"
     ).parquet(f"{index_dir}/vectors")
-    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
-    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    meta = spark.createDataFrame(
-        [(int(len(cent)), int(cent.shape[1]), vec_col, id_col, int(seed), store_codec)],
-        "n_cells int, dim int, vec_col string, id_col string, seed int, store_codec string",
+    # centroids/meta are driver-owned k×dim metadata: write them with
+    # pyarrow directly (no Spark job) — the createDataFrame(list) path
+    # evaluates through a 32-slice Python RDD and costs ~5 s per write
+    # (localframe.py); spark.read.parquet reads the same layout back
+    import pyarrow as pa
+
+    from ..localframe import write_local_parquet
+
+    write_local_parquet(
+        f"{index_dir}/centroids",
+        pa.table(
+            {
+                "cell": pa.array(range(len(cent)), pa.int32()),
+                "centroid": pa.array(
+                    [[float(x) for x in c] for c in cent], pa.list_(pa.float64())
+                ),
+            }
+        ),
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/index_meta")
+    write_local_parquet(
+        f"{index_dir}/index_meta",
+        pa.table(
+            {
+                "n_cells": pa.array([int(len(cent))], pa.int32()),
+                "dim": pa.array([int(cent.shape[1])], pa.int32()),
+                "vec_col": pa.array([vec_col], pa.string()),
+                "id_col": pa.array([id_col], pa.string()),
+                "seed": pa.array([int(seed)], pa.int32()),
+                "store_codec": pa.array([store_codec], pa.string()),
+            }
+        ),
+    )
     return {
         "cells": int(len(cent)),
-        "rows": df.count(),
+        "rows": int(n_rows),
         "dim": int(cent.shape[1]),
         "store_codec": store_codec,
     }
 
 
+def _local_index_path(index_dir: str, name: str) -> str | None:
+    """Filesystem path for a driver-readable index metadata dir, or
+    None when the index lives on a remote filesystem (hdfs://, s3://…)
+    and must go through a Spark read."""
+    import os
+    from urllib.parse import urlparse
+
+    u = urlparse(index_dir)
+    if u.scheme not in ("", "file"):
+        return None
+    p = os.path.join(u.path or index_dir, name)
+    return p if os.path.isdir(p) else None
+
+
+def _read_index_meta(spark, index_dir: str) -> dict:
+    """index_meta row as a dict — pyarrow driver-side for local dirs
+    (the 1-row read is driver metadata; a Spark job for it costs ~0.15 s
+    per query), Spark read otherwise."""
+    p = _local_index_path(index_dir, "index_meta")
+    if p is not None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p)
+        return {k: v[0] for k, v in t.to_pydict().items()}
+    return spark.read.parquet(f"{index_dir}/index_meta").collect()[0].asDict()
+
+
 def ivf_read_centroids(spark, index_dir: str) -> np.ndarray:
+    p = _local_index_path(index_dir, "centroids")
+    if p is not None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p).to_pydict()
+        order = np.argsort(np.asarray(t["cell"]))
+        return np.asarray([t["centroid"][i] for i in order], dtype=np.float64)
     rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
     return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
 
@@ -764,7 +887,7 @@ def ivf_query(
     index built with ``store_codec="fq8"`` is dequantized transparently
     AFTER the partition prune (int8·scale, probed cells only); pre-r5
     indexes have no store_codec column and read as float32-exact."""
-    meta = spark.read.parquet(f"{index_dir}/index_meta").collect()[0].asDict()
+    meta = _read_index_meta(spark, index_dir)
     cent = ivf_read_centroids(spark, index_dir)
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
@@ -798,7 +921,7 @@ def ivf_query_batch(
     prune, cells carried through for the mask."""
     import pandas as pd
 
-    meta = spark.read.parquet(f"{index_dir}/index_meta").collect()[0].asDict()
+    meta = _read_index_meta(spark, index_dir)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     cent = ivf_read_centroids(spark, index_dir)
     qrows = query_df.select(qid_col, qvec_col).limit(max_queries + 1).collect()

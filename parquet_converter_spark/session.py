@@ -37,9 +37,24 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # block rows are huge (up to 65k turns per row) — keep Arrow
-        # batches into python workers small enough to bound memory
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # Arrow batches into python workers: bound by BYTES (the direct
+        # memory knob, guide §4.2) so fat block rows (up to 65k encoded
+        # turns per row) stay bounded while narrow rows (embeddings,
+        # transcript turns) still arrive in large vectorization-friendly
+        # batches instead of 64-row slivers. Both env-overridable for
+        # cluster tuning.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_ROWS", "8192"),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BYTES", str(32 * 1024 * 1024)),
+        )
+        # allow shuffled-hash join where a side fits per-partition
+        # (guide §3.1/§9): skips the two sorts a sort-merge pays; AQE
+        # still falls back per its size conditions
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
