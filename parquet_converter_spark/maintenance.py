@@ -84,7 +84,8 @@ def _plan_rewrite_buckets(spark, io, triples, n_rows, salt_rows, time_bucket):
 
 
 def _decode_triples(
-    spark: SparkSession, io, triples: DataFrame, cols: list[str] | None = None
+    spark: SparkSession, io, triples: DataFrame, cols: list[str] | None = None,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """Decode ONLY the given (bucket, salt, run_id) triples' blocks —
     the maintenance read path. Same vectorized mapInArrow decode as
@@ -93,9 +94,12 @@ def _decode_triples(
     select millions of groups, same guard as the resume join).
     ``cols`` projects a column subset: only those columns' binary
     blocks are read at all (the convergence guard decodes just the
-    key columns, never the text)."""
+    key columns, never the text). ``n_keys``: the triple count when the
+    caller already aggregated it — skips the probe job."""
     keys = triples.select("bucket", "salt", "run_id")
-    if keys.limit(2_000_001).count() <= 2_000_000:
+    if n_keys is None:
+        n_keys = keys.limit(2_000_001).count()
+    if n_keys <= 2_000_000:
         keys = F.broadcast(keys)
     blocks = io.read(ckpt.BLOCKS, BLOCKS_STORED_SCHEMA).join(
         keys, ["bucket", "salt", "run_id"], "left_semi"
@@ -213,7 +217,9 @@ def compact_blocks(
         )
         occupied = (
             with_group_keys(
-                _decode_triples(spark, io, triples, cols=key_cols),
+                _decode_triples(
+                    spark, io, triples, cols=key_cols, n_keys=int(agg["groups"])
+                ),
                 nb, salt_rows, time_bucket=time_bucket,
             )
             .select("bucket", "salt")
@@ -226,7 +232,7 @@ def compact_blocks(
                 "blocks_before": chunks_now, "blocks_after": chunks_now,
                 "run_id": None, "skipped": "rewrite cannot reduce block count "
                 f"(achievable floor {achievable} >= current {chunks_now})"}
-    rows_df = _decode_triples(spark, io, triples)
+    rows_df = _decode_triples(spark, io, triples, n_keys=int(agg["groups"]))
     # all-or-nothing: encode_table ABORTS the whole commit (raises, old
     # table untouched, new blocks orphaned) if any group's re-encode
     # errors — retire_triples makes that its contract
@@ -352,7 +358,7 @@ def retention_sweep(
     rows_kept = 0
     rid = None
     if n_straddle:
-        kept = _decode_triples(spark, io, straddle).where(
+        kept = _decode_triples(spark, io, straddle, n_keys=n_straddle).where(
             (F.col("ts") >= F.lit(cutoff)) | F.col("ts").isNull()
         )
         # bucket planning from manifest stats (straddle row count is an

@@ -58,6 +58,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (Spark's legacy default) carries NO parquet min/max
+        # statistics: it silently disabled both the footer-stats span
+        # fast path in time-bucketed planning AND row-group pruning on
+        # the blocks table's ts_min/ts_max predicate (guide §6: verify
+        # pushdown actually reaches the scan). TIMESTAMP_MICROS has
+        # stats, round-trips Spark's µs semantics exactly, and matches
+        # what pandas/pyarrow (the reference implementation) writes.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # split scans finer than the 128 MB default so a medium input
         # still fans out across every core (one 350 MB table must not
         # become a 3-task map stage on a 32-core runner)
