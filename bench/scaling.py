@@ -128,6 +128,25 @@ def main(n_convs: int = 20_000) -> int:
         print(gen.stderr[-2000:])
         return 1
 
+    # health gate (r6, VERDICT r5 #7): measure the hardware-ceiling
+    # control FIRST — when the sandbox is in a degraded window
+    # (8→32-process control speedup < 1.4×) a recorded run is pure
+    # ambiguity; retry once after a settle, then record WITH an
+    # explicit degraded annotation rather than silently.
+    ceiling = hardware_ceiling()
+    degraded = ceiling["speedup_8_32"] < 1.4
+    if degraded:
+        import time as _time
+
+        print(
+            f"control speedup {ceiling['speedup_8_32']:.2f}x < 1.4x — "
+            "degraded window; settling 60s and re-probing",
+            flush=True,
+        )
+        _time.sleep(60)
+        ceiling = hardware_ceiling()
+        degraded = ceiling["speedup_8_32"] < 1.4
+
     # interleave levels with repetitions: this VM shows strong
     # noisy-neighbor + warm-up variance (2-4x between back-to-back
     # runs), so best-of-interleaved is the only stable estimator
@@ -141,7 +160,6 @@ def main(n_convs: int = 20_000) -> int:
 
     r8 = min(results[8], key=lambda r: r["encode_sec"])
     r32 = min(results[32], key=lambda r: r["encode_sec"])
-    ceiling = hardware_ceiling()
     thr8 = r8["rows"] / r8["encode_sec"]
     thr32 = r32["rows"] / r32["encode_sec"]
     eff = (thr32 / thr8) / 4.0
@@ -149,8 +167,16 @@ def main(n_convs: int = 20_000) -> int:
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     all8 = ", ".join(str(r["encode_sec"]) for r in results[8])
     all32 = ", ".join(str(r["encode_sec"]) for r in results[32])
+    health = (
+        "control ≥ 1.4× (healthy window)"
+        if not degraded
+        else "**DEGRADED WINDOW** (control < 1.4× after retry — treat "
+        "efficiency as a lower bound, not a measurement)"
+    )
     report = f"""
 ## Scaling run {stamp} — encode job, identical input ({r8['rows']:,} turns)
+
+Window health gate: {health}.
 
 | parallelism | encode wall best (s) | all reps (s) | throughput (turns/s) | decode wall (s) |
 |---|---|---|---|---|
