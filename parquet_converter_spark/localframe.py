@@ -41,6 +41,8 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     ``rows`` is a list of tuples (as for ``createDataFrame``); ``schema``
     a StructType or DDL string. Falls back to the plain constructor if
     the Arrow conversion rejects the data (never silently wrong)."""
+    from datetime import datetime
+
     import pandas as pd
 
     if isinstance(schema, str):
@@ -50,6 +52,24 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     if not rows:
         return empty_df(spark, schema)
     names = [f.name for f in schema.fields]
+    if {len(r) for r in rows} != {len(names)}:
+        # fail like createDataFrame(rows, schema) would — a silent
+        # zip() truncation would ship arity bugs into metadata tables
+        raise ValueError(
+            f"local_df: row arity {sorted({len(r) for r in rows})} != "
+            f"schema arity {len(names)}"
+        )
+
+    def _norm(v):
+        # plain createDataFrame(list) interprets NAIVE datetimes in the
+        # SYSTEM-local zone; the pandas/Arrow path would re-interpret
+        # them in the session zone (UTC) — attach the system zone so
+        # the stored instant matches the replaced constructor exactly
+        if isinstance(v, datetime) and v.tzinfo is None:
+            return v.astimezone()
+        return v
+
+    rows = [tuple(_norm(v) for v in r) for r in rows]
     try:
         pdf = pd.DataFrame(dict(zip(names, (list(c) for c in zip(*rows)))))
         return spark.createDataFrame(pdf, schema)

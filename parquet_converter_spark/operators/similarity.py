@@ -793,38 +793,56 @@ def ivf_build_index(
     assigned.repartition("ivf_cell").write.mode("overwrite").partitionBy(
         "ivf_cell"
     ).parquet(f"{index_dir}/vectors")
-    # centroids/meta are driver-owned k×dim metadata: write them with
-    # pyarrow directly (no Spark job) — the createDataFrame(list) path
-    # evaluates through a 32-slice Python RDD and costs ~5 s per write
-    # (localframe.py); spark.read.parquet reads the same layout back
-    import pyarrow as pa
+    # centroids/meta are driver-owned k×dim metadata: for a LOCAL index
+    # dir write them with pyarrow directly (no Spark job — the
+    # createDataFrame(list) path evaluates through a 32-slice Python
+    # RDD and costs ~5 s per write, localframe.py); a REMOTE index_dir
+    # (hdfs://, s3://…) keeps the Spark writer, routed through the
+    # Arrow local-relation constructor so even that path pays no
+    # Python-RDD evaluation. spark.read.parquet reads both layouts.
+    from urllib.parse import urlparse
 
-    from ..localframe import write_local_parquet
+    from ..localframe import local_df, write_local_parquet
 
-    write_local_parquet(
-        f"{index_dir}/centroids",
-        pa.table(
-            {
-                "cell": pa.array(range(len(cent)), pa.int32()),
-                "centroid": pa.array(
-                    [[float(x) for x in c] for c in cent], pa.list_(pa.float64())
-                ),
-            }
-        ),
-    )
-    write_local_parquet(
-        f"{index_dir}/index_meta",
-        pa.table(
-            {
-                "n_cells": pa.array([int(len(cent))], pa.int32()),
-                "dim": pa.array([int(cent.shape[1])], pa.int32()),
-                "vec_col": pa.array([vec_col], pa.string()),
-                "id_col": pa.array([id_col], pa.string()),
-                "seed": pa.array([int(seed)], pa.int32()),
-                "store_codec": pa.array([store_codec], pa.string()),
-            }
-        ),
-    )
+    u = urlparse(index_dir)
+    if u.scheme in ("", "file"):
+        import pyarrow as pa
+
+        base = u.path if u.scheme == "file" else index_dir
+        write_local_parquet(
+            f"{base}/centroids",
+            pa.table(
+                {
+                    "cell": pa.array(range(len(cent)), pa.int32()),
+                    "centroid": pa.array(
+                        [[float(x) for x in c] for c in cent], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+        )
+        write_local_parquet(
+            f"{base}/index_meta",
+            pa.table(
+                {
+                    "n_cells": pa.array([int(len(cent))], pa.int32()),
+                    "dim": pa.array([int(cent.shape[1])], pa.int32()),
+                    "vec_col": pa.array([vec_col], pa.string()),
+                    "id_col": pa.array([id_col], pa.string()),
+                    "seed": pa.array([int(seed)], pa.int32()),
+                    "store_codec": pa.array([store_codec], pa.string()),
+                }
+            ),
+        )
+    else:
+        cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+        local_df(spark, cent_rows, "cell int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+        local_df(
+            spark,
+            [(int(len(cent)), int(cent.shape[1]), vec_col, id_col, int(seed), store_codec)],
+            "n_cells int, dim int, vec_col string, id_col string, seed int, store_codec string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/index_meta")
     return {
         "cells": int(len(cent)),
         "rows": int(n_rows),

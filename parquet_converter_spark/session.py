@@ -51,10 +51,17 @@ def get_spark(
             "spark.sql.execution.arrow.maxBytesPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BYTES", str(32 * 1024 * 1024)),
         )
-        # allow shuffled-hash join where a side fits per-partition
-        # (guide §3.1/§9): skips the two sorts a sort-merge pays; AQE
-        # still falls back per its size conditions
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # allow shuffled-hash join where the planner's size conditions
+        # say a side fits per-partition (guide §3.1/§9): skips the two
+        # sorts a sort-merge pays. Tradeoff: SHJ builds an in-memory
+        # hash relation from plan-time ESTIMATES — on a cluster where
+        # estimates are unreliable (post-UDF sizes, heavy skew) flip
+        # SPARK_GRAFT_PREFER_SMJ=true to restore sort-merge's spill
+        # safety; the bench workloads' build sides are manifest-sized.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
